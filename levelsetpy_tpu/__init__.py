@@ -1,0 +1,41 @@
+"""levelsetpy_tpu — a TPU-native Hamilton–Jacobi level-set / reachability
+framework (JAX + XLA + Pallas + pjit).
+
+Built from scratch with the capabilities of robotsorcerer/LevelSetPy
+(mounted read-only at /root/reference for behavioral parity), redesigned
+TPU-first: functional core, static-shape stencils, fully on-device time
+loops, shardable grids with ICI halo exchange, vmappable scenario sweeps.
+
+Quick start (air3D backward reachable tube)::
+
+    import jax.numpy as jnp
+    from levelsetpy_tpu import (create_grid, cylinder, DubinsRel,
+                                SchemeConfig, solve)
+
+    grid = create_grid([-6, -10, 0], [20, 10, 2*jnp.pi], 71,
+                       periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], center=[0, 0, 0], radius=5.0)
+    sys = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    res = solve(grid, sys, target, tau=jnp.linspace(0, 1.0, 11),
+                cfg=SchemeConfig(accuracy="veryHigh", rk_order=2))
+"""
+
+from .grid import Grid, create_grid, proj_grid, truncate_grid
+from .boundary import (pad_all_axes, pad_axis, pad_dirichlet,
+                       pad_extrapolate, pad_periodic)
+from .shapes import (check_implicit_surface, complement, cylinder, difference,
+                     ellipsoid, hyperplane, hyperplane_by_points,
+                     intersection, rectangle_by_center, rectangle_by_corners,
+                     sphere, union)
+from .derivatives import (centered_first, curvature, gradient_norm, hessian,
+                          laplacian, second_derivative, upwind_eno2,
+                          upwind_eno3, upwind_first, upwind_fn, upwind_weno5)
+from .terms import AlphaBounds, SchemeConfig, hj_rhs, precompute_alpha
+from .integration import cfl_step, integrate
+from .solver import SolveResult, solve
+from .values import (compute_gradients, eval_u, optimal_trajectory, proj)
+from .systems.base import System, register_system
+from .systems.double_integrator import DoubleIntegrator
+from .systems.dubins import DubinsAbs, DubinsRel
+
+__version__ = "0.1.0"

@@ -1,0 +1,109 @@
+"""CFL-constrained TVD Runge-Kutta time integration, fully on-device.
+
+TPU-first redesign of ``ExplicitIntegration/Integration/ode_cfl_{1,2,3}.py``:
+the reference runs a host-side Python ``while`` loop, pulling the CFL bound to
+host every substep and reallocating flattened copies of the state
+(``ode_cfl_3.py:125-241``).  Here one :func:`cfl_step` is pure traced math —
+``dt`` is a traced scalar, ``min(factorCFL * stepBound, t_target - t,
+maxStep)`` exactly as ``ode_cfl_3.py:142`` — and the time loop is a
+``lax.while_loop`` (:func:`integrate`) compiled into the same XLA program as
+the stencils, so an entire multi-step integration runs without a single
+host<->device transfer.
+
+Butcher schemes match the reference:
+  * RK1: forward Euler (``ode_cfl_1.py``).
+  * RK2: Heun / TVD-RK2 — two Euler substeps then half-average
+    (``ode_cfl_2.py:95-238``).
+  * RK3: Shu-Osher TVD-RK3 — substeps combined 3/4,1/4 then 1/3,2/3
+    (``ode_cfl_3.py:125-241``).
+
+The reference evaluates the step bound at every substep only to *warn* about
+CFL violations (``ode_cfl_3.py:159-175``); dt always comes from the first
+evaluation.  We reproduce that dt choice (parity) and skip the host warning —
+NaN guards in the solver catch genuine blowups.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cfl_step", "integrate"]
+
+#: rhs signature: (t, v) -> (v_dot, step_bound)
+Rhs = Callable
+
+
+def cfl_step(rhs: Rhs, t, v, t_target, factor_cfl: float, rk_order: int,
+             max_step: float = float("inf")):
+    """One CFL-limited TVD-RK step toward ``t_target``.
+
+    Returns ``(t_new, v_new)``.  ``dt`` is data-dependent but stays on device;
+    callers loop with ``lax.while_loop`` until ``t_new >= t_target``.
+    """
+    v_dot, step_bound = rhs(t, v)
+    dt = jnp.minimum(factor_cfl * step_bound, t_target - t)
+    if max_step != float("inf"):
+        dt = jnp.minimum(dt, max_step)
+
+    if rk_order == 1:
+        v_new = v + dt * v_dot
+    elif rk_order == 2:
+        y1 = v + dt * v_dot
+        v_dot2, _ = rhs(t + dt, y1)
+        v_new = 0.5 * (v + y1 + dt * v_dot2)
+    elif rk_order == 3:
+        y1 = v + dt * v_dot
+        v_dot2, _ = rhs(t + dt, y1)
+        y2 = y1 + dt * v_dot2
+        y_half = 0.75 * v + 0.25 * y2
+        v_dot3, _ = rhs(t + 0.5 * dt, y_half)
+        y_three_half = y_half + dt * v_dot3
+        v_new = (v + 2.0 * y_three_half) / 3.0
+    else:
+        raise ValueError(f"rk_order must be 1, 2 or 3; got {rk_order}")
+    return t + dt, v_new
+
+
+class IntegrateResult(NamedTuple):
+    t: jnp.ndarray
+    v: jnp.ndarray
+    steps: jnp.ndarray
+
+
+def integrate(
+    rhs: Rhs,
+    t0,
+    v0,
+    t1,
+    factor_cfl: float = 0.8,
+    rk_order: int = 3,
+    max_step: float = float("inf"),
+    post_step: Callable | None = None,
+) -> IntegrateResult:
+    """Integrate ``v' = rhs(t, v)`` from ``t0`` to ``t1`` with CFL substeps —
+    the jit-native equivalent of one ``odeCFLn(schemeFunc, [t0,t1], ...)``
+    call without ``singleStep`` (``ode_cfl_3.py:95-261``).
+
+    ``post_step(t, v, v_prev) -> v`` runs after every RK step — the
+    ``postTimestep``/``compMethod``-per-step hook (``hji_solver.py:536-599``).
+    Termination tolerance matches the reference: ``t1 - t < 100 * eps * |t1|``
+    (``ode_cfl_3.py:125``).
+    """
+    t0 = jnp.asarray(t0, dtype=jnp.result_type(v0.dtype))
+    small = 100.0 * jnp.finfo(v0.dtype).eps * jnp.abs(t1)
+
+    def cond(carry):
+        t, _, _ = carry
+        return t < t1 - small
+
+    def body(carry):
+        t, v, n = carry
+        t_new, v_new = cfl_step(rhs, t, v, t1, factor_cfl, rk_order, max_step)
+        if post_step is not None:
+            v_new = post_step(t_new, v_new, v)
+        return t_new, v_new, n + 1
+
+    t, v, n = jax.lax.while_loop(cond, body, (t0, v0, jnp.zeros((), jnp.int32)))
+    return IntegrateResult(t=t, v=v, steps=n)

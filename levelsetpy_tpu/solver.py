@@ -1,0 +1,284 @@
+"""HJI PDE solver driver: one fused, jit-compiled reachability solve.
+
+TPU-first redesign of the reference's ``HJIPDE_solve``
+(``ValueFuncs/hji_solver.py:24``).  The reference drives a host Python loop —
+one ``odeCFL3`` call per RK step (``singleStep='on'``, ``hji_solver.py:
+445-446,536-542``), flatten/reshape per substep, host syncs for the CFL dt —
+here the ENTIRE solve (outer tau checkpoints, inner CFL sub-loop, comp-method
+masking, obstacle masking, discounting, convergence/early-stop logic) is one
+XLA program: ``lax.scan`` over tau intervals around a ``lax.while_loop`` of
+TVD-RK steps.  Nothing touches the host until the result is fetched.
+
+Semantics matched to the reference (for value parity):
+  * the comp method is applied after EVERY RK step, not per tau checkpoint
+    (``hji_solver.py:536-599``), with ``yLast`` the pre-step value.
+  * obstacle masking ``V = max(V, -obstacle)`` per step (``:640-644``), and
+    once up front on the initial data (``:209-228``).
+  * discounting: 'Jaime' (ICRA 2019) ``V = g*V + (1-g)*L`` after the comp
+    method (``:601-609``); 'Kene' (min discounted rewards) shift-scale-min
+    inside the comp (``:613-638``).
+  * ``stopInit`` early exit once the set contains a query state (``:676-684``)
+    and ``stopConverge`` on max|dV| (``:661-672,705-728``); under jit these
+    freeze the state through remaining intervals (output stack repeats the
+    final slice; ``stop_index`` reports where it stopped).
+  * factorCFL default 0.8 (``:445``).
+
+The numerical core (``_solve_core``) is execution-agnostic: the sharded
+multi-chip solver (``parallel/solver.py``) runs the SAME function inside
+``shard_map`` with halo-exchange padding and cross-shard reductions plugged
+in via :class:`~levelsetpy_tpu.terms.GridOps`.
+
+Everything is vmap-compatible: batching over system parameters (disturbance
+sweeps) or initial conditions is ``jax.vmap(solve_fn)`` — the BASELINE
+"1024 batched BRT solves" config.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .grid import Grid
+from .integration import cfl_step
+from .systems.base import System
+from .terms import (GridOps, SchemeConfig, hj_rhs, local_ops,
+                    precompute_alpha)
+from .values import eval_u
+
+__all__ = ["solve", "SolveResult", "SchemeConfig"]
+
+_COMP_METHODS = (
+    "none", "set", "zero",
+    "minVOverTime", "maxVOverTime",
+    "minVWithV0", "maxVWithV0",
+    "minVWithL", "maxVWithL",
+)
+
+
+class SolveResult(NamedTuple):
+    values: jnp.ndarray        # (T, *grid.shape) incl. the initial slice
+    tau: jnp.ndarray           # (T,)
+    changes: jnp.ndarray       # (T-1,) max|dV| per interval (convergence)
+    stop_index: jnp.ndarray    # first interval index where an early stop hit
+                               # (T-1 if none)
+    steps: jnp.ndarray         # total RK steps taken
+
+
+def _solve_core(
+    *,
+    grid: Grid,
+    cfg: SchemeConfig,
+    comp_method: str,
+    system: System,
+    v0: jnp.ndarray,
+    tau: jnp.ndarray,
+    xs,
+    ops: GridOps,
+    obstacles,
+    obstacles_tv: bool,
+    targets,
+    targets_tv: bool,
+    gamma,
+    discount_mode: str,
+    has_discount: bool,
+    stop_state,                 # None or state vector for stopInit
+    converge_threshold,
+    trim: Callable,
+    save_all: bool,
+    use_precomputed: bool,
+):
+    """The solver loop, written once for every execution mode.
+
+    ``v0``/``obstacles``/``targets`` may be local shards; ``xs`` must be the
+    matching (broadcastable) coordinate arrays and ``ops`` the matching
+    pad/reduce operations.  All early-stop predicates reduce through ``ops``
+    so they agree across shards.
+    """
+    n_tau = tau.shape[0]
+    small_scale = 100.0 * jnp.finfo(v0.dtype).eps
+
+    alpha_bounds = (
+        precompute_alpha(grid, system, xs, tau[0], reduce_max=ops.reduce_max)
+        if use_precomputed else None
+    )
+
+    def rhs(t, v):
+        return hj_rhs(grid, cfg, system, t, v, xs, alpha_bounds, ops)
+
+    def apply_comp(v, v_last, v0c, target_i):
+        if has_discount and discount_mode == "Kene":
+            # shift below zero, scale, combine with target, restore
+            # (ref hji_solver.py:613-636)
+            max_val = ops.reduce_max(jnp.abs(target_i))
+            vt = (v - max_val) * gamma
+            tt = target_i - max_val
+            if comp_method == "maxVWithL":
+                vt = jnp.maximum(vt, tt)
+            else:  # minVWithL (reference errors on anything else)
+                vt = jnp.minimum(vt, tt)
+            return vt + max_val
+        if comp_method == "minVOverTime":
+            v = jnp.minimum(v, v_last)
+        elif comp_method == "maxVOverTime":
+            v = jnp.maximum(v, v_last)
+        elif comp_method == "minVWithV0":
+            v = jnp.minimum(v, v0c)
+        elif comp_method == "maxVWithV0":
+            v = jnp.maximum(v, v0c)
+        elif comp_method == "minVWithL":
+            v = jnp.minimum(v, target_i)
+        elif comp_method == "maxVWithL":
+            v = jnp.maximum(v, target_i)
+        # 'none'/'set'/'zero': nothing here (ref :566-570)
+        if has_discount and discount_mode != "Kene":
+            base = target_i if targets is not None else v0c
+            v = gamma * v + (1.0 - gamma) * base
+        return v
+
+    def interval(carry, i):
+        v_in, done, steps = carry
+        t0 = tau[i]
+        t1 = tau[i + 1]
+        small = small_scale * jnp.abs(t1)
+        obs_i = None
+        if obstacles is not None:
+            obs_i = obstacles[i + 1] if obstacles_tv else obstacles
+        if targets is not None:
+            tgt_i = targets[i + 1] if targets_tv else targets
+        else:
+            tgt_i = jnp.zeros((), v0.dtype)  # unused placeholder
+
+        def do(v):
+            def cond(c):
+                t, _, _ = c
+                return t < t1 - small
+
+            def body(c):
+                t, v, n = c
+                v_last = v
+                t, v = cfl_step(rhs, t, v, t1, cfg.factor_cfl,
+                                cfg.rk_order, cfg.max_step)
+                v = apply_comp(v, v_last, v0, tgt_i)
+                if obs_i is not None:
+                    v = jnp.maximum(v, -obs_i)
+                return t, v, n + 1
+
+            _, v, n = jax.lax.while_loop(
+                cond, body, (t0, v, jnp.zeros((), jnp.int32)))
+            return v, n
+
+        v_new, n_steps = jax.lax.cond(
+            done, lambda v: (v, jnp.zeros((), jnp.int32)), do, v_in)
+        change = ops.reduce_max(jnp.abs(trim(v_new) - trim(v_in)))
+
+        new_done = done
+        if converge_threshold is not None:
+            new_done = new_done | (change < converge_threshold)
+        if stop_state is not None:
+            init_val = eval_u(grid, v_new, stop_state)
+            new_done = new_done | (init_val <= 0)
+
+        out = v_new if save_all else None
+        return (v_new, new_done, steps + n_steps), (out, change, done)
+
+    (v_fin, _, steps), (vs, changes, was_done) = jax.lax.scan(
+        interval,
+        (v0, jnp.zeros((), jnp.bool_), jnp.zeros((), jnp.int32)),
+        jnp.arange(n_tau - 1),
+    )
+    stop_index = jnp.where(jnp.any(was_done), jnp.argmax(was_done),
+                           n_tau - 1)
+    if save_all:
+        values = jnp.concatenate([v0[None], vs], axis=0)
+    else:
+        values = v_fin[None]
+    return values, changes, stop_index, steps
+
+
+def solve(
+    grid: Grid,
+    system: System,
+    v0: jnp.ndarray,
+    tau,
+    cfg: SchemeConfig = SchemeConfig(),
+    comp_method: str = "minVOverTime",
+    obstacles: jnp.ndarray | None = None,
+    targets: jnp.ndarray | None = None,
+    discount_factor: float | None = None,
+    discount_mode: str = "Jaime",
+    stop_init: jnp.ndarray | None = None,
+    converge_threshold: float | None = None,
+    ignore_boundary: bool = False,
+    save_all: bool = True,
+) -> SolveResult:
+    """Solve the HJI PDE over checkpoint times ``tau`` on a single device.
+
+    Args mirror ``HJIPDE_solve(data0, tau, schemeData, compMethod,
+    extraArgs)``: ``obstacles``/``targets`` may be a single grid-shaped array
+    (static) or a ``(len(tau), *grid.shape)`` stack (time-varying).  The
+    'zero' comp method routes through ``cfg.restrict_update`` like the
+    reference's ``termRestrictUpdate`` wrapper (``hji_solver.py:438-442``).
+    """
+    if comp_method not in _COMP_METHODS:
+        raise ValueError(f"unknown comp_method {comp_method!r}")
+    if system.n_states != grid.ndim:
+        raise ValueError(
+            f"system has {system.n_states} states but grid has "
+            f"{grid.ndim} dims")
+    if v0.shape != grid.shape:
+        raise ValueError(f"v0 shape {v0.shape} != grid shape {grid.shape}")
+    tau = jnp.asarray(tau, dtype=v0.dtype)
+    nd = grid.ndim
+    if comp_method == "zero" and cfg.restrict_update is None:
+        cfg = dataclasses.replace(cfg, restrict_update="min")
+    if comp_method in ("minVWithL", "maxVWithL") and targets is None:
+        raise ValueError(f"{comp_method} requires targets (l(x))")
+    if discount_factor is not None and discount_mode == "Kene" \
+            and targets is None:
+        raise ValueError("Kene discounting requires targets")
+
+    obstacles_tv = obstacles is not None and obstacles.ndim == nd + 1
+    targets_tv = targets is not None and targets.ndim == nd + 1
+
+    # Initial obstacle mask (ref hji_solver.py:209-228).
+    if obstacles is not None:
+        obs0 = obstacles[0] if obstacles_tv else obstacles
+        v0 = jnp.maximum(v0, -obs0)
+
+    xs = grid.mesh_broadcastable(v0.dtype)
+    use_precomputed = (
+        system.alpha_time_invariant and cfg.dissipation == "global"
+    )
+    gamma = (jnp.asarray(discount_factor, v0.dtype)
+             if discount_factor is not None else jnp.asarray(1.0, v0.dtype))
+    stop_state = (jnp.asarray(stop_init, v0.dtype)
+                  if stop_init is not None else None)
+
+    def trim(v):
+        """Interior view for convergence checks (ref ignoreBoundary trims
+        4*dx per side, hji_solver.py:507,663)."""
+        if not ignore_boundary:
+            return v
+        sl = tuple(
+            slice(4, s - 4) if s > 8 else slice(None) for s in grid.shape
+        )
+        return v[sl]
+
+    @jax.jit
+    def run(system, v0, tau):
+        return _solve_core(
+            grid=grid, cfg=cfg, comp_method=comp_method, system=system,
+            v0=v0, tau=tau, xs=xs, ops=local_ops(grid),
+            obstacles=obstacles, obstacles_tv=obstacles_tv,
+            targets=targets, targets_tv=targets_tv,
+            gamma=gamma, discount_mode=discount_mode,
+            has_discount=discount_factor is not None,
+            stop_state=stop_state, converge_threshold=converge_threshold,
+            trim=trim, save_all=save_all, use_precomputed=use_precomputed,
+        )
+
+    values, changes, stop_index, steps = run(system, v0, tau)
+    return SolveResult(values=values, tau=tau, changes=changes,
+                       stop_index=stop_index, steps=steps)

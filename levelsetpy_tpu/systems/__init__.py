@@ -1,0 +1,12 @@
+from .base import System, register_system, static_field
+from .double_integrator import DoubleIntegrator
+from .dubins import DubinsAbs, DubinsRel
+
+__all__ = [
+    "System",
+    "register_system",
+    "static_field",
+    "DoubleIntegrator",
+    "DubinsAbs",
+    "DubinsRel",
+]

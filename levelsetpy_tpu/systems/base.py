@@ -1,0 +1,139 @@
+"""Dynamical-system interface for HJ reachability — ONE protocol, generic
+Hamiltonian machinery included.
+
+The reference has two incompatible dynamics interfaces (survey Q2): the generic
+path expects ``dynamics/get_opt_u/get_opt_v`` (``Hamiltonians/generic_ham.py:
+27-45``) while every shipped system implements ``hamiltonian/dissipation``
+directly (e.g. ``DynamicalSystems/dubins_relative.py:63,92``).  Here both are
+one thing: a :class:`System` subclass provides ``dynamics`` +
+``opt_control``/``opt_disturbance`` and gets the generic Hamiltonian
+(``genericHam`` semantics, ``Hamiltonians/generic_ham.py:44-55``) and the
+corner-max dissipation bound (``genericPartial`` semantics,
+``Hamiltonians/generic_partial.py:42-51``) for free; or it overrides
+``hamiltonian``/``alpha`` with analytic forms (the notebook pattern — faster
+and exactly what the production demos use).
+
+TPU-first details:
+  * Systems are pytree dataclasses (``jax.tree_util.register_dataclass``):
+    numeric parameters are leaves, so ``vmap(solve)(batched_systems)`` sweeps
+    thousands of scenarios; modes are static metadata, so changing them
+    recompiles rather than branches.
+  * All methods operate on (broadcastable) full-grid coordinate arrays — no
+    per-node Python, everything fuses.
+  * ``alpha_time_invariant`` advertises that ``alpha`` ignores ``t`` and the
+    costate bounds, letting the solver hoist dissipation bounds and the CFL
+    step out of the time loop entirely (the reference recomputes them every
+    substep and syncs them to host, survey Q3).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["System", "register_system"]
+
+
+def register_system(cls):
+    """Register a System dataclass as a pytree: array/float fields are leaves
+    (vmap-able parameters), fields marked ``static=True`` in metadata are aux
+    data."""
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    data_fields = []
+    meta_fields = []
+    for f in dataclasses.fields(cls):
+        if f.metadata.get("static", False):
+            meta_fields.append(f.name)
+        else:
+            data_fields.append(f.name)
+    jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=meta_fields
+    )
+    return cls
+
+
+def static_field(default=None, **kw):
+    return dataclasses.field(default=default, metadata={"static": True}, **kw)
+
+
+class System:
+    """Base class; subclass + decorate with :func:`register_system`.
+
+    Class attributes (static, shared by all instances unless overridden as
+    static fields):
+      n_states: state dimension.
+      u_mode / d_mode: 'min' or 'max' — optimisation sense of control /
+        disturbance in the Hamiltonian (ref schemeData.uMode/dMode,
+        ``generic_ham.py:10-14``).
+      t_mode: 'backward' (negate H, reachability) or 'forward'
+        (ref ``generic_ham.py:53-55``).
+    """
+
+    n_states: int = 0
+    u_mode: str = "min"
+    d_mode: str = "max"
+    t_mode: str = "backward"
+    #: True when ``alpha`` depends only on grid coordinates — enables
+    #: precomputing dissipation bounds + CFL dt once per solve.
+    alpha_time_invariant: bool = False
+
+    # -------------------------------------------------------------- dynamics
+    def dynamics(self, t, x: Sequence, u, d) -> tuple:
+        """Open-loop dynamics f(t, x, u, d) per state component; ``x`` is a
+        tuple of (broadcastable) grid coordinate arrays."""
+        raise NotImplementedError
+
+    def opt_control(self, t, x: Sequence, p: Sequence, mode: str) -> tuple:
+        """argmin/argmax_u p . f(x,u,d) (ref ``get_opt_u``)."""
+        raise NotImplementedError
+
+    def opt_disturbance(self, t, x: Sequence, p: Sequence, mode: str) -> tuple:
+        """argmin/argmax_d p . f(x,u,d) (ref ``get_opt_v``)."""
+        return ()
+
+    # ----------------------------------------------------------- hamiltonian
+    def hamiltonian(self, t, x: Sequence, p: Sequence) -> jnp.ndarray:
+        """H(t, x, p).  Default: generic optimal-control Hamiltonian — plug
+        the optimal u and d into the dynamics, contract with the costate,
+        negate for backward reachability (``generic_ham.py:44-55``)."""
+        u = self.opt_control(t, x, p, self.u_mode)
+        d = self.opt_disturbance(t, x, p, self.d_mode)
+        f = self.dynamics(t, x, u, d)
+        ham = sum(pi * fi for pi, fi in zip(p, f))
+        if self.t_mode == "backward":
+            ham = -ham
+        return ham
+
+    def alpha(self, t, x: Sequence, p_min: Sequence, p_max: Sequence,
+              axis: int) -> jnp.ndarray:
+        """Dissipation bound ``max |dH/dp_axis|`` over the costate box
+        ``[p_min, p_max]``.  Default: max |f_axis| over the four corner
+        control/disturbance pairs (``generic_partial.py:42-51``)."""
+        u_hi = self.opt_control(t, x, p_max, self.u_mode)
+        u_lo = self.opt_control(t, x, p_min, self.u_mode)
+        d_hi = self.opt_disturbance(t, x, p_max, self.d_mode)
+        d_lo = self.opt_disturbance(t, x, p_min, self.d_mode)
+        a = None
+        for u, d in ((u_hi, d_hi), (u_hi, d_lo), (u_lo, d_lo), (u_lo, d_hi)):
+            f_axis = jnp.abs(self.dynamics(t, x, u, d)[axis])
+            a = f_axis if a is None else jnp.maximum(a, f_axis)
+        return a
+
+    # ------------------------------------------------------------ trajectory
+    def step_state(self, t, state: jnp.ndarray, u, d, dt) -> jnp.ndarray:
+        """One RK4 step of the closed-loop state (for trajectory extraction;
+        replaces the reference's ``dynamics_RK4``/``update_state``).  ``state``
+        has shape ``(..., n_states)``; u/d are control tuples broadcast
+        against the leading dims (vmapped rollouts)."""
+
+        def f(tt, s):
+            comps = tuple(s[..., i] for i in range(self.n_states))
+            return jnp.stack(self.dynamics(tt, comps, u, d), axis=-1)
+
+        k1 = f(t, state)
+        k2 = f(t + 0.5 * dt, state + 0.5 * dt * k1)
+        k3 = f(t + 0.5 * dt, state + 0.5 * dt * k2)
+        k4 = f(t + dt, state + dt * k3)
+        return state + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)

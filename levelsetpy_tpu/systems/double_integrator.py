@@ -1,0 +1,71 @@
+"""Double integrator: the analytic-ground-truth system.
+
+TPU-native rewrite of ``DynamicalSystems/double_integrator.py`` in the
+reference: dynamics ``x1' = x2, x2' = u`` with ``|u| <= u_max`` — minimum time
+to reach the origin.  Ships the analytic minimum-time-to-reach solution
+(``mttr``, ref ``double_integrator.py:91-119``) and switching curve, which the
+test suite uses as a golden oracle for the whole solver stack (the reference
+never wired that comparison up automatically; we do).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import System, register_system, static_field
+
+__all__ = ["DoubleIntegrator"]
+
+
+@register_system
+class DoubleIntegrator(System):
+    """``x'' = u``, ``|u| <= u_max``; parking-at-origin min-time problem."""
+
+    u_max: float = 1.0
+
+    n_states = 2
+    alpha_time_invariant = True
+
+    # ---------------------------------------------------------------- dynamics
+    def dynamics(self, t, x, u, d):
+        return (x[1], u[0])
+
+    def opt_control(self, t, x, p, mode):
+        # u enters H as p2 * u; extremal control is +/- u_max.
+        s = jnp.sign(p[1])
+        u = -s if mode == "min" else s
+        return (u * self.u_max,)
+
+    def opt_disturbance(self, t, x, p, mode):
+        return ()
+
+    # ------------------------------------------------------------- hamiltonian
+    def hamiltonian(self, t, x, p):
+        """Analytic backward-reachability Hamiltonian
+        ``-(p1 x2 - |p2| u_max)`` (ref ``double_integrator.py:49-74``)."""
+        return -(p[0] * x[1] - jnp.abs(p[1]) * self.u_max)
+
+    def alpha(self, t, x, p_min, p_max, axis):
+        """|dH/dp|: ``|x2|`` along axis 0, ``u_max`` along axis 1
+        (ref ``double_integrator.py:76-89``)."""
+        if axis == 0:
+            return jnp.abs(x[1])
+        return jnp.abs(self.u_max) * jnp.ones_like(x[0])
+
+    # ---------------------------------------------------------- analytic truth
+    def switching_curve(self, x1, x2):
+        """``Gamma = -(1/2) x2 |x2|`` (ref ``double_integrator.py:41-47``)."""
+        return -0.5 * x2 * jnp.abs(x2)
+
+    def mttr(self, x1, x2):
+        """Analytic minimum time to reach the origin
+        (ref ``double_integrator.py:91-119``; Liberzon CVOC §: bang-bang with
+        one switch on the curve ``Gamma``)."""
+        gamma = self.switching_curve(x1, x2)
+        above = x1 > gamma
+        below = x1 < gamma
+        # Clamp sqrt args at 0: each term only applies on the branch where its
+        # argument is nonnegative (the reference used complex sqrt + .real).
+        term_above = x2 + jnp.sqrt(jnp.maximum(4 * x1 + 2 * x2 ** 2, 0.0))
+        term_below = -x2 + jnp.sqrt(jnp.maximum(-4 * x1 + 2 * x2 ** 2, 0.0))
+        return jnp.where(above, term_above,
+                         jnp.where(below, term_below, jnp.abs(x2)))

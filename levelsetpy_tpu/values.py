@@ -1,0 +1,223 @@
+"""Value-function post-processing: interpolation, projection, gradients,
+optimal trajectories — all on-device and batchable.
+
+TPU-first redesign of the reference's ``ValueFuncs/`` side tower:
+
+  * ``eval_u`` (``ValueFuncs/evaluate_u.py``) used host scipy
+    ``RegularGridInterpolator`` — a full device->host round trip per query.
+    Here :func:`eval_u` is a pure-JAX multilinear gather: jit/vmap-compatible,
+    so a million simultaneous queries run as one fused kernel on TPU.
+  * periodic dims wrap indices modulo the cell count — the intent of
+    ``augmentPeriodicData`` (``ValueFuncs/augment_periodic.py``, whose axis
+    slicing is buggy — survey Q6) without materialising an augmented copy.
+  * ``proj`` (``ValueFuncs/data_proj.py``) min/max projection plus the
+    *interpolated slice* path the reference left broken
+    (``data_proj.py:191-215``).
+  * ``compute_gradients`` (``ValueFuncs/compute_gradients.py``): per-axis
+    upwind central gradient with the NaN/Inf clamp implemented (the
+    reference references undefined ``nanInds``/``infInds``).
+  * ``optimal_trajectory`` (``ValueFuncs/compute_opt_traj.py``): a
+    ``lax.scan`` closed-loop rollout — gradient tables interpolated on device,
+    optimal control from the system, RK4 sub-steps — vmappable to thousands
+    of simultaneous rollouts.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .derivatives import upwind_fn
+from .grid import Grid, proj_grid
+from .systems.base import System
+
+__all__ = [
+    "eval_u",
+    "proj",
+    "compute_gradients",
+    "optimal_trajectory",
+    "TrajectoryResult",
+]
+
+
+def _fractional_indices(grid: Grid, x: jnp.ndarray) -> list:
+    """Per-dim fractional grid indices with periodic wrapping.
+
+    For periodic dims the reference grid convention is endpoint-inclusive
+    (``process_grid.py:204``): node ``N-1`` duplicates node 0, so the period
+    is ``N-1`` cells; indices wrap modulo ``N-1``.
+    """
+    out = []
+    for i in range(grid.ndim):
+        f = (x[..., i] - grid.lo[i]) / grid.dx[i]
+        if grid.periodic[i]:
+            f = jnp.mod(f, grid.period_cells(i))
+        out.append(f)
+    return out
+
+
+def eval_u(grid: Grid, values: jnp.ndarray, states: jnp.ndarray) -> jnp.ndarray:
+    """Multilinear interpolation of ``values`` (grid-shaped) at ``states``
+    ``(..., ndim)``; reference ``eval_u``/``eval_u_single``
+    (``ValueFuncs/evaluate_u.py:15,86-116``).
+
+    Non-periodic queries are clamped to the domain (matching scipy's behavior
+    with ``bounds_error=False, fill_value=None`` ≈ edge extrapolation clamp).
+    """
+    nd = grid.ndim
+    fracs = _fractional_indices(grid, states)
+    idx_lo, weights = [], []
+    for i in range(nd):
+        if grid.periodic[i]:
+            # already wrapped into [0, period); the upper corner wraps to 0
+            f = fracs[i]
+            lo = jnp.floor(f).astype(jnp.int32)
+        else:
+            f = jnp.clip(fracs[i], 0.0, grid.shape[i] - 1)
+            lo = jnp.clip(jnp.floor(f), 0, grid.shape[i] - 2).astype(jnp.int32)
+        idx_lo.append(lo)
+        weights.append(f - lo)
+
+    out = None
+    for corner in range(1 << nd):
+        idx, w = [], None
+        for i in range(nd):
+            hi = (corner >> i) & 1
+            ii = idx_lo[i] + hi
+            if grid.periodic[i]:
+                ii = jnp.mod(ii, grid.period_cells(i))
+            idx.append(ii)
+            wi = weights[i] if hi else (1.0 - weights[i])
+            w = wi if w is None else w * wi
+        term = values[tuple(idx)] * w
+        out = term if out is None else out + term
+    return out
+
+
+def proj(
+    grid: Grid,
+    values: jnp.ndarray,
+    keep_axes: Sequence[int],
+    mode: str = "min",
+    slice_states=None,
+):
+    """Project a value function onto a subset of axes
+    (ref ``ValueFuncs/data_proj.py:18,156-216``).
+
+    mode 'min' — union over removed dims (BRT visualisation default);
+    'max' — intersection; 'slice' — interpolated slice at ``slice_states``
+    (one coordinate per removed axis; the path the reference left broken).
+    Returns ``(sub_grid, projected_values)``.
+    """
+    keep = tuple(sorted(int(a) for a in keep_axes))
+    drop = tuple(a for a in range(grid.ndim) if a not in keep)
+    g = proj_grid(grid, keep)
+    if mode in ("min", "max"):
+        fn = jnp.min if mode == "min" else jnp.max
+        return g, fn(values, axis=drop)
+    if mode != "slice":
+        raise ValueError(f"unknown projection mode {mode!r}")
+    if slice_states is None:
+        raise ValueError("mode='slice' needs slice_states for removed axes")
+    coords = jnp.asarray(slice_states, dtype=values.dtype)
+    # Interpolate along dropped axes only: treat values as shaped
+    # (*kept, *dropped) then eval at the dropped coordinates.
+    perm = keep + drop
+    moved = jnp.transpose(values, perm)
+    sub = Grid(
+        lo=tuple(grid.lo[a] for a in drop),
+        hi=tuple(grid.hi[a] for a in drop),
+        shape=tuple(grid.shape[a] for a in drop),
+        periodic=tuple(grid.periodic[a] for a in drop),
+        endpoint_inclusive=grid.endpoint_inclusive,
+    )
+    flat = moved.reshape((-1,) + tuple(grid.shape[a] for a in drop))
+    vals = jax.vmap(lambda v: eval_u(sub, v, coords))(flat)
+    return g, vals.reshape(tuple(grid.shape[a] for a in keep))
+
+
+def compute_gradients(
+    grid: Grid,
+    values: jnp.ndarray,
+    accuracy: str = "weno5",
+    clamp_value: float = 1e6,
+) -> tuple:
+    """Central (averaged upwind) gradient per axis
+    (ref ``ValueFuncs/compute_gradients.py:49-77``); NaN/Inf entries are
+    clamped to ``clamp_value`` preserving sign (the reference's intent).
+    Accepts a single grid-shaped array or a leading time axis (vmapped)."""
+    deriv, _ = upwind_fn(accuracy)
+
+    def one(v):
+        grads = []
+        for axis in range(grid.ndim):
+            dl, dr = deriv(grid, v, axis)
+            c = 0.5 * (dl + dr)
+            c = jnp.where(jnp.isnan(c) | jnp.isinf(c),
+                          jnp.sign(c) * clamp_value, c)
+            grads.append(c)
+        return tuple(grads)
+
+    if values.ndim == grid.ndim:
+        return one(values)
+    return jax.vmap(one)(values)
+
+
+class TrajectoryResult(NamedTuple):
+    states: jnp.ndarray   # (T, ..., n_states)
+    controls: jnp.ndarray  # (T, ..., n_u)
+    values: jnp.ndarray   # (T, ...) value at the visited states
+
+
+def optimal_trajectory(
+    grid: Grid,
+    system: System,
+    values: jnp.ndarray,          # (T, *grid.shape) backward-time stack
+    tau: jnp.ndarray,             # (T,) times matching values
+    x0: jnp.ndarray,              # (..., n_states) initial state(s)
+    sub_steps: int = 4,
+    accuracy: str = "weno5",
+) -> TrajectoryResult:
+    """Closed-loop optimal trajectory extraction
+    (ref ``ValueFuncs/compute_opt_traj.py:16,80-134``).
+
+    Precomputes gradient tables for every stored time slice, then scans
+    backward over ``tau``: interpolate the gradient at the current state, get
+    the optimal control/disturbance from the system, integrate ``sub_steps``
+    RK4 sub-intervals (ref subSamples=4, ``compute_opt_traj.py:116``).
+    Leading batch dims on ``x0`` give vmapped simultaneous rollouts.
+    """
+    n_t = values.shape[0]
+    grads = compute_gradients(grid, values, accuracy)  # tuple of (T, *shape)
+    grad_stack = jnp.stack(grads, axis=-1)             # (T, *shape, nd)
+
+    def _split(s):
+        return tuple(s[..., k] for k in range(system.n_states))
+
+    def step(state, i):
+        # Reference convention: values[0] is the final BRT (latest tau);
+        # walk forward in real time = backward through the stack.
+        t_idx = n_t - 1 - i
+        g_tab = grad_stack[t_idx]
+        # interpolate each gradient component at the state
+        comps = tuple(
+            eval_u(grid, g_tab[..., k], state) for k in range(grid.ndim)
+        )
+        u = system.opt_control(tau[i], _split(state), comps, system.u_mode)
+        d = system.opt_disturbance(tau[i], _split(state), comps,
+                                   system.d_mode)
+        dt_total = jnp.where(i + 1 < n_t, tau[jnp.minimum(i + 1, n_t - 1)]
+                             - tau[i], 0.0)
+        dt = dt_total / sub_steps
+        new_state = state
+        for _ in range(sub_steps):
+            new_state = system.step_state(tau[i], new_state, u, d, dt)
+        val = eval_u(grid, values[t_idx], state)
+        return new_state, (state, jnp.stack(u, axis=-1), val)
+
+    _, (states, controls, vals) = jax.lax.scan(
+        step, x0, jnp.arange(n_t)
+    )
+    return TrajectoryResult(states=states, controls=controls, values=vals)

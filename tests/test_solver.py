@@ -1,0 +1,218 @@
+"""End-to-end solver tests: analytic golden oracles + solver features.
+
+The key correctness gate (reference never automated it): the double
+integrator's backward reachable tube boundary at horizon T equals the analytic
+minimum-time-to-reach contour ``mttr(x) = T`` (``DynamicalSystems/
+double_integrator.py:91-119``)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from levelsetpy_tpu import (DoubleIntegrator, DubinsRel, SchemeConfig,
+                            create_grid, cylinder, solve, sphere)
+from levelsetpy_tpu.integration import integrate
+from levelsetpy_tpu.terms import hj_rhs, precompute_alpha
+
+
+def di_setup(n=101, dtype=jnp.float64):
+    g = create_grid([-1.0, -1.0], [1.0, 1.0], n)
+    sys = DoubleIntegrator(u_max=1.0)
+    phi0 = sphere(g, center=[0.0, 0.0], radius=0.1, dtype=dtype)
+    return g, sys, phi0
+
+
+class TestDoubleIntegratorBRT:
+    @pytest.mark.parametrize("accuracy,rk,tol", [
+        ("first", 1, 0.12),
+        ("eno2", 2, 0.05),
+        ("veryHigh", 3, 0.04),
+    ])
+    def test_brt_matches_analytic_mttr(self, accuracy, rk, tol):
+        """Sharp golden test against the analytic solution: by dynamic
+        programming, the BRT of the target {mttr <= a} at horizon T is
+        EXACTLY {mttr <= a + T}.  Check sign agreement of the computed value
+        function against the analytic contour outside a resolution band."""
+        g = create_grid([-1.0, -1.0], [1.0, 1.0], 101)
+        sys = DoubleIntegrator(u_max=1.0)
+        xs = g.mesh(jnp.float64)
+        mttr = sys.mttr(xs[0], xs[1])
+        a, T = 0.3, 0.4
+        phi0 = mttr - a  # implicit target {mttr <= a}
+        cfg = SchemeConfig(accuracy=accuracy, rk_order=rk)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, T, 5), cfg=cfg,
+                    comp_method="minVOverTime")
+        v = np.asarray(res.values[-1])
+        m = np.asarray(mttr)
+        x1, x2 = np.asarray(xs[0]), np.asarray(xs[1])
+        inside = v <= 0
+        must_in = m <= a + T - tol
+        must_out = m >= a + T + tol
+        # evaluate away from (a) the domain rim, where extrapolating BCs
+        # pollute, and (b) the switching curve, where the analytic solution
+        # has a gradient kink that LF dissipation smears (max-norm
+        # convergence there is sublinear — standard HJ behavior)
+        interior = np.zeros_like(v, dtype=bool)
+        interior[5:-5, 5:-5] = True
+        off_kink = np.abs(x1 + 0.5 * x2 * np.abs(x2)) > 0.2
+        ok = interior & off_kink
+        n_wrong_out = (inside & must_out & ok).sum()
+        n_wrong_in = ((~inside) & must_in & ok).sum()
+        assert n_wrong_in == 0, \
+            f"{n_wrong_in} states reachable within T missing from the BRT"
+        assert n_wrong_out == 0, \
+            f"{n_wrong_out} unreachable states wrongly inside the BRT"
+        if accuracy == "veryHigh":
+            # direct value-error check away from the kink: V = mttr - (a+T)
+            band = np.abs(m - (a + T)) < 0.2
+            err = np.abs(v - (m - (a + T)))[band & ok].max()
+            assert err < 0.06, f"value error {err:.3f} off the kink"
+
+    def test_brt_grows_monotonically(self):
+        g, sys, phi0 = di_setup(81)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.4, 5),
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        vols = [(np.asarray(v) <= 0).mean() for v in res.values]
+        assert all(b >= a - 1e-12 for a, b in zip(vols, vols[1:]))
+        assert vols[-1] > vols[0]
+
+    def test_min_over_time_never_increases(self):
+        g, sys, phi0 = di_setup(51)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.3, 4),
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        v = np.asarray(res.values)
+        assert (v[1:] <= v[:-1] + 1e-10).all()
+
+    def test_no_nans(self):
+        g, sys, phi0 = di_setup(51)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.5, 3))
+        assert np.isfinite(np.asarray(res.values)).all()
+
+
+class TestSolverFeatures:
+    def test_obstacle_masking(self):
+        g, sys, phi0 = di_setup(61)
+        obstacle = sphere(g, center=[0.5, 0.5], radius=0.2,
+                          dtype=jnp.float64)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.5, 4),
+                    obstacles=obstacle,
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        v = np.asarray(res.values[-1])
+        inside_obs = np.asarray(obstacle) < -0.05
+        assert (v[inside_obs] > 0).all(), "BRT leaked into the obstacle"
+
+    def test_zero_comp_method_freezes_outside(self):
+        g, sys, phi0 = di_setup(61)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.3, 4),
+                    comp_method="zero",
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        v = np.asarray(res.values)
+        assert (v[1:] <= v[:-1] + 1e-10).all()
+
+    def test_min_with_v0(self):
+        g, sys, phi0 = di_setup(41)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.2, 3),
+                    comp_method="minVWithV0",
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        assert (np.asarray(res.values[-1]) <= np.asarray(phi0) + 1e-10).all()
+
+    def test_converge_stop(self):
+        """Small target + long horizon: BRT fills reachable region then
+        converges; solver should flag an early stop index."""
+        g, sys, phi0 = di_setup(41)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 6.0, 25),
+                    converge_threshold=1e-3,
+                    cfg=SchemeConfig(accuracy="first", rk_order=1))
+        assert int(res.stop_index) < 24
+        # after stopping, the stack repeats the final slice
+        v = np.asarray(res.values)
+        np.testing.assert_allclose(v[-1], v[int(res.stop_index)])
+
+    def test_stop_init(self):
+        g, sys, phi0 = di_setup(61)
+        x_query = jnp.array([0.3, 0.0])
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 3.0, 13),
+                    stop_init=x_query,
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        # the query state IS eventually reachable -> early stop triggers
+        assert int(res.stop_index) < 12
+
+    def test_save_all_false(self):
+        g, sys, phi0 = di_setup(41)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.2, 5),
+                    save_all=False,
+                    cfg=SchemeConfig(accuracy="first", rk_order=1))
+        assert res.values.shape == (1,) + g.shape
+
+    def test_jaime_discounting_contracts(self):
+        g, sys, phi0 = di_setup(41)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.2, 3),
+                    discount_factor=0.999,
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        assert np.isfinite(np.asarray(res.values)).all()
+
+
+class TestAir3D:
+    def test_air3d_brt_sanity(self):
+        """71^3-lite air3D BRT: collision set grows backward in time and the
+        value function stays finite (full parity vs the reference oracle is
+        covered by the numpy-oracle tests)."""
+        g = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                        [31, 31, 31], periodic_dims=[2])
+        target = cylinder(g, ignore_axes=[2], center=[0, 0, 0], radius=5.0,
+                          dtype=jnp.float64)
+        sys = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+        res = solve(g, sys, target, tau=jnp.linspace(0.0, 0.5, 3),
+                    cfg=SchemeConfig(accuracy="veryHigh", rk_order=2),
+                    comp_method="minVOverTime")
+        v = np.asarray(res.values)
+        assert np.isfinite(v).all()
+        vol0 = (v[0] <= 0).mean()
+        vol1 = (v[-1] <= 0).mean()
+        assert vol1 > vol0  # tube grows
+
+    def test_vmap_disturbance_sweep(self):
+        """Batched solves over vehicle speeds — the BASELINE config #3
+        pattern — must vmap cleanly."""
+        g = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                        [15, 15, 15], periodic_dims=[2])
+        target = cylinder(g, ignore_axes=[2], center=[0, 0, 0], radius=5.0,
+                          dtype=jnp.float64)
+
+        def solve_one(ve):
+            sys = DubinsRel(v_e=ve, v_p=5.0, w_bound=1.0)
+            return solve(g, sys, target, tau=jnp.linspace(0.0, 0.2, 2),
+                         cfg=SchemeConfig(accuracy="eno2", rk_order=2),
+                         save_all=False).values
+
+        out = jax.vmap(solve_one)(jnp.array([4.0, 5.0, 6.0]))
+        assert out.shape == (3, 1) + g.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestIntegrator:
+    def test_rk_orders_agree_on_smooth_problem(self):
+        g, sys, phi0 = di_setup(61)
+        xs = g.mesh_broadcastable(jnp.float64)
+        outs = {}
+        for rk in (1, 2, 3):
+            cfg = SchemeConfig(accuracy="veryHigh", rk_order=rk,
+                               factor_cfl=0.5)
+            ab = precompute_alpha(g, sys, xs)
+            rhs = lambda t, v: hj_rhs(g, cfg, sys, t, v, xs, ab)
+            outs[rk] = integrate(rhs, 0.0, phi0, 0.1, factor_cfl=0.5,
+                                 rk_order=rk).v
+        d12 = float(jnp.max(jnp.abs(outs[1] - outs[2])))
+        d23 = float(jnp.max(jnp.abs(outs[2] - outs[3])))
+        assert d23 < d12  # higher order pairs agree better
+        assert d12 < 0.05
+
+    def test_integrate_reaches_target_time(self):
+        g, sys, phi0 = di_setup(41)
+        xs = g.mesh_broadcastable(jnp.float64)
+        cfg = SchemeConfig(accuracy="first", rk_order=1)
+        ab = precompute_alpha(g, sys, xs)
+        rhs = lambda t, v: hj_rhs(g, cfg, sys, t, v, xs, ab)
+        out = integrate(rhs, 0.0, phi0, 0.25, rk_order=1)
+        assert abs(float(out.t) - 0.25) < 1e-6
+        assert int(out.steps) > 1
