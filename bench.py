@@ -1,0 +1,109 @@
+"""Headline benchmark: 101^3 air3D (relative Dubins) BRT to T=2.0 s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <tpu wall seconds>, "unit": "s",
+   "vs_baseline": <speedup over CPU reference>}
+
+The BASELINE.json north star: 101^3 Dubins BRT to T=2.0 s at >=10x the CPU
+reference throughput (the upstream repo publishes no numbers, so the CPU
+reference is the self-generated pure-numpy implementation of the identical
+algorithm — benchmarks/numpy_ref.py, cross-validated against the JAX stack
+to <1e-8 in tests/test_numpy_oracle.py).  The CPU cost is measured once
+(2 steps, extrapolated by step count) and cached in
+benchmarks/cpu_baseline.json.
+
+Wall-clock methodology: one warm-up solve compiles + runs; the reported
+value is the steady-state wall time of a full solve (compile cached), which
+is what a replanning loop pays.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(ROOT))
+
+SHAPE = (101, 101, 101)
+LO, HI = [-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi]
+T_END = 2.0
+CFL = 0.8
+BASELINE_FILE = ROOT / "benchmarks" / "cpu_baseline.json"
+
+
+def cpu_reference_seconds(n_steps_full: int) -> float:
+    """Measured-and-cached pure-numpy cost of the same solve."""
+    if BASELINE_FILE.exists():
+        rec = json.loads(BASELINE_FILE.read_text())
+        if rec.get("shape") == list(SHAPE) and rec.get("t_end") == T_END:
+            return rec["seconds_full_solve"]
+    sys.path.insert(0, str(ROOT / "benchmarks"))
+    from numpy_ref import Air3DNumpy
+
+    ref = Air3DNumpy(LO, HI, SHAPE, ve=5.0, vp=5.0, w=1.0, dtype=np.float32)
+    v = ref.target_cylinder(5.0)
+    # warm one step (allocations), then time two
+    v, _ = ref.step(v, 0.0, T_END, CFL)
+    t0 = time.perf_counter()
+    n_timed = 2
+    t = 0.0
+    for _ in range(n_timed):
+        v, t = ref.step(v, t, T_END, CFL)
+    per_step = (time.perf_counter() - t0) / n_timed
+    seconds = per_step * n_steps_full
+    BASELINE_FILE.write_text(json.dumps({
+        "shape": list(SHAPE), "t_end": T_END,
+        "per_step_seconds": per_step, "n_steps": n_steps_full,
+        "seconds_full_solve": seconds,
+        "note": "pure-numpy WENO5+GLF+TVD-RK2 air3D (benchmarks/numpy_ref.py)"
+        ", measured 2 steps and extrapolated",
+    }, indent=2))
+    return seconds
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from levelsetpy_tpu import (DubinsRel, SchemeConfig, create_grid,
+                                cylinder, solve)
+
+    grid = create_grid(LO, HI, SHAPE, periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], center=[0, 0, 0], radius=5.0)
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, factor_cfl=CFL)
+    tau = jnp.array([0.0, T_END], dtype=jnp.float32)
+
+    def run():
+        res = solve(grid, system, target, tau, cfg=cfg,
+                    comp_method="minVOverTime", save_all=False)
+        res.values.block_until_ready()
+        return res
+
+    res = run()  # compile + warm up
+    n_steps = int(res.steps)
+    v_final = np.asarray(res.values[-1])
+    assert np.isfinite(v_final).all(), "non-finite value function"
+
+    t0 = time.perf_counter()
+    res = run()
+    tpu_seconds = time.perf_counter() - t0
+
+    cpu_seconds = cpu_reference_seconds(n_steps)
+    print(json.dumps({
+        "metric": "air3d_101cube_brt_T2.0_wallclock",
+        "value": round(tpu_seconds, 4),
+        "unit": "s",
+        "vs_baseline": round(cpu_seconds / tpu_seconds, 2),
+    }))
+    print(f"steps={n_steps} steps/s={n_steps / tpu_seconds:.1f} "
+          f"cpu_ref={cpu_seconds:.1f}s device={jax.devices()[0]}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -117,20 +117,32 @@ def solve_sharded(
     ``stop_init`` is intentionally absent — point queries against a sharded
     array belong to the (host-side) post-processing path.
     """
+    from ..derivatives import GHOST_WIDTH
+
     shard_axes = {int(k): v for k, v in shard_axes.items()}
+    width = GHOST_WIDTH[cfg.accuracy]
     for ax, name in shard_axes.items():
         msize = dict(zip(mesh.axis_names, mesh.devices.shape))[name]
         if grid.shape[ax] % msize:
             raise ValueError(
                 f"grid axis {ax} ({grid.shape[ax]} nodes) must divide mesh "
                 f"axis {name!r} ({msize} shards)")
-    tau = jnp.asarray(tau, dtype=v0.dtype)
+        local = grid.shape[ax] // msize
+        if local < width:
+            raise ValueError(
+                f"grid axis {ax}: {local} local nodes per shard is below "
+                f"the {width}-cell stencil halo of {cfg.accuracy!r}; use "
+                f"fewer shards or a finer grid")
     nd = grid.ndim
     obstacles_tv = obstacles is not None and obstacles.ndim == nd + 1
     targets_tv = targets is not None and targets.ndim == nd + 1
     if obstacles is not None:
+        obstacles = obstacles.astype(v0.dtype)
         obs0 = obstacles[0] if obstacles_tv else obstacles
         v0 = jnp.maximum(v0, -obs0)
+    if targets is not None:
+        targets = targets.astype(v0.dtype)
+    tau = jnp.asarray(tau, dtype=v0.dtype)
     use_precomputed = (
         system.alpha_time_invariant and cfg.dissipation == "global"
     )

@@ -242,10 +242,14 @@ def solve(
     obstacles_tv = obstacles is not None and obstacles.ndim == nd + 1
     targets_tv = targets is not None and targets.ndim == nd + 1
 
-    # Initial obstacle mask (ref hji_solver.py:209-228).
+    # Initial obstacle mask (ref hji_solver.py:209-228).  Cast to v0's dtype
+    # so mixed-precision inputs can't promote the solve mid-pipeline.
     if obstacles is not None:
+        obstacles = obstacles.astype(v0.dtype)
         obs0 = obstacles[0] if obstacles_tv else obstacles
         v0 = jnp.maximum(v0, -obs0)
+    if targets is not None:
+        targets = targets.astype(v0.dtype)
 
     xs = grid.mesh_broadcastable(v0.dtype)
     use_precomputed = (
