@@ -1,0 +1,306 @@
+"""Proper Orthogonal Decomposition / operator-inference utilities.
+
+TPU-first replacement for the reference's ``POD/`` tower (adapted there from
+rom-operator-inference; ``_basis.py``, ``_tikhonov.py``,
+``_finite_difference.py``, ``_reprojection.py``, ``multi_svd.py``).  The
+reference's ``multi_svd.py`` imports nonexistent modules (``..conf`` etc. —
+survey §2.8) and the rest is plain numpy; here everything is jnp (SVDs and
+least-squares run on-device, batched solves vmap) with the same public
+semantics:
+
+  * ``pod_basis`` — rank-r or energy-threshold POD basis of a snapshot
+    matrix (``_basis.py:80``).
+  * ``svdval_decay`` / ``cumulative_energy`` / ``projection_error`` /
+    ``minimal_projection_error`` (``_basis.py:160-320``).
+  * ``SolverL2 / SolverL2Decoupled / SolverTikhonov / SolverTikhonov
+    Decoupled`` — regularised least squares min ||AX-B||^2 + ||G X||^2 via
+    SVD / normal equations (``_tikhonov.py:144,264,349,Decoupled``).
+  * ``xdot_uniform`` (orders 2/4/6) and ``xdot_nonuniform`` snapshot time
+    derivatives (``_finite_difference.py:49-142``).
+  * ``reproject_discrete`` / ``reproject_continuous`` trajectory
+    re-projection (``_reprojection.py:15,67``).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "pod_basis",
+    "svdval_decay",
+    "cumulative_energy",
+    "projection_error",
+    "minimal_projection_error",
+    "SolverL2",
+    "SolverL2Decoupled",
+    "SolverTikhonov",
+    "SolverTikhonovDecoupled",
+    "xdot_uniform",
+    "xdot_nonuniform",
+    "reproject_discrete",
+    "reproject_continuous",
+]
+
+
+# ------------------------------------------------------------------- basis
+def pod_basis(x: jnp.ndarray, r: int | None = None,
+              energy: float | None = None):
+    """POD basis of snapshot matrix ``x`` (n x k): returns ``(Vr, svals)``.
+
+    ``r`` fixes the rank; ``energy`` picks the smallest rank whose
+    cumulative squared singular-value energy exceeds the threshold
+    (host-side choice — don't jit the energy branch).
+    Ref ``POD/_basis.py:80``.
+    """
+    u, s, _ = jnp.linalg.svd(x, full_matrices=False)
+    if r is None:
+        if energy is None:
+            r = s.shape[0]
+        else:
+            csum = jnp.cumsum(s ** 2) / jnp.sum(s ** 2)
+            r = int(jnp.searchsorted(csum, energy) + 1)
+    return u[:, :r], s
+
+
+def svdval_decay(svals: jnp.ndarray, eps: float) -> int:
+    """Number of singular values above ``eps`` (ref ``_basis.py:160``)."""
+    return int(jnp.sum(svals > eps))
+
+
+def cumulative_energy(svals: jnp.ndarray, thresh: float) -> int:
+    """Smallest rank capturing ``thresh`` fraction of squared-singular-value
+    energy (ref ``_basis.py:205``)."""
+    csum = jnp.cumsum(svals ** 2) / jnp.sum(svals ** 2)
+    return int(jnp.searchsorted(csum, thresh) + 1)
+
+
+def projection_error(x: jnp.ndarray, vr: jnp.ndarray) -> jnp.ndarray:
+    """Relative Frobenius projection error ``||X - Vr Vr^T X|| / ||X||``
+    (ref ``_basis.py:257``)."""
+    return jnp.linalg.norm(x - vr @ (vr.T @ x)) / jnp.linalg.norm(x)
+
+
+def minimal_projection_error(x: jnp.ndarray, v: jnp.ndarray,
+                             eps: float) -> int:
+    """Smallest basis size with projection error below ``eps``
+    (ref ``_basis.py:281``)."""
+    for r in range(1, v.shape[1] + 1):
+        if float(projection_error(x, v[:, :r])) < eps:
+            return r
+    return v.shape[1]
+
+
+# --------------------------------------------------------------- tikhonov
+class SolverL2:
+    """min_X ||AX - B||^2 + lam^2 ||X||^2 via the SVD of A
+    (ref ``_tikhonov.py:144``)."""
+
+    def fit(self, a: jnp.ndarray, b: jnp.ndarray):
+        self.a, self.b = a, b
+        u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+        self._u, self._s, self._vt = u, s, vt
+        self._utb = u.T @ (b if b.ndim > 1 else b[:, None])
+        self._b_was_1d = b.ndim == 1
+        return self
+
+    def predict(self, lam: float) -> jnp.ndarray:
+        if lam < 0:
+            raise ValueError("regularization parameter must be nonnegative")
+        s = self._s
+        filt = s / (s ** 2 + lam ** 2)
+        x = self._vt.T @ (filt[:, None] * self._utb)
+        return x[:, 0] if self._b_was_1d else x
+
+    def cond(self) -> float:
+        """Condition number of A (ref ``_tikhonov.py:219``)."""
+        s = self._s
+        return float(s[0] / s[-1])
+
+    def regcond(self, lam: float) -> float:
+        """Condition number of the regularised problem
+        (ref ``_tikhonov.py:224``)."""
+        s2 = self._s ** 2 + lam ** 2
+        return float(jnp.sqrt(s2[0] / s2[-1]))
+
+    def residual(self, x: jnp.ndarray, lam: float) -> jnp.ndarray:
+        """||Ax-B||^2 + lam^2||x||^2 (ref ``_tikhonov.py:241``)."""
+        return (jnp.linalg.norm(self.a @ x - self.b) ** 2
+                + lam ** 2 * jnp.linalg.norm(x) ** 2)
+
+
+class SolverL2Decoupled(SolverL2):
+    """One L2 regulariser per column of B (ref ``_tikhonov.py:264``)."""
+
+    def predict(self, lams) -> jnp.ndarray:
+        lams = jnp.asarray(lams)
+        s = self._s
+
+        def col(utb_col, lam):
+            filt = s / (s ** 2 + lam ** 2)
+            return self._vt.T @ (filt * utb_col)
+
+        return jax.vmap(col, in_axes=(1, 0), out_axes=1)(self._utb, lams)
+
+
+class SolverTikhonov:
+    """min_X ||AX-B||^2 + ||G X||^2 with a full regularisation matrix G,
+    via the normal equations (ref ``_tikhonov.py:349``)."""
+
+    def fit(self, a: jnp.ndarray, b: jnp.ndarray):
+        self.a, self.b = a, b
+        self._ata = a.T @ a
+        self._atb = a.T @ (b if b.ndim > 1 else b[:, None])
+        self._b_was_1d = b.ndim == 1
+        return self
+
+    def _gamma(self, g):
+        g = jnp.asarray(g)
+        if g.ndim == 0:
+            return (g ** 2) * jnp.eye(self._ata.shape[0])
+        if g.ndim == 1:
+            return jnp.diag(g ** 2)
+        return g.T @ g
+
+    def predict(self, g) -> jnp.ndarray:
+        lhs = self._ata + self._gamma(g)
+        x = jnp.linalg.solve(lhs, self._atb)
+        return x[:, 0] if self._b_was_1d else x
+
+    def cond(self) -> float:
+        return float(jnp.linalg.cond(self.a))
+
+    def regcond(self, g) -> float:
+        return float(jnp.linalg.cond(self._ata + self._gamma(g)))
+
+    def residual(self, x: jnp.ndarray, g) -> jnp.ndarray:
+        gm = self._gamma(g)
+        return (jnp.linalg.norm(self.a @ x - self.b) ** 2
+                + x.T @ gm @ x if x.ndim == 1 else
+                jnp.linalg.norm(self.a @ x - self.b) ** 2
+                + jnp.trace(x.T @ gm @ x))
+
+
+class SolverTikhonovDecoupled(SolverTikhonov):
+    """One regulariser per column of B (ref ``_tikhonov.py:Decoupled``)."""
+
+    def predict(self, gs) -> jnp.ndarray:
+        cols = []
+        for j, g in enumerate(gs):
+            lhs = self._ata + self._gamma(g)
+            cols.append(jnp.linalg.solve(lhs, self._atb[:, j]))
+        return jnp.stack(cols, axis=1)
+
+
+# ------------------------------------------------- snapshot time derivatives
+def _fd_weights(offsets) -> jnp.ndarray:
+    """First-derivative finite-difference weights for the given integer
+    stencil offsets, by solving the Vandermonde moment system — exact for
+    polynomials up to ``len(offsets) - 1``."""
+    import numpy as np
+
+    offsets = np.asarray(offsets, dtype=float)
+    n = offsets.size
+    vander = np.vander(offsets, n, increasing=True).T  # row k: offsets**k
+    rhs = np.zeros(n)
+    rhs[1] = 1.0
+    return jnp.asarray(np.linalg.solve(vander, rhs))
+
+
+def xdot_uniform(x: jnp.ndarray, dt: float, order: int = 2) -> jnp.ndarray:
+    """Time derivative of snapshot columns with uniform spacing: interior
+    central differences of the given order, one-sided stencils of the SAME
+    order at the edges (ref ``_finite_difference.py:49``; orders 2/4/6).
+    Stencil weights are generated from the Vandermonde moment conditions,
+    so every column is exact for polynomials of degree <= order."""
+    if order not in (2, 4, 6):
+        raise ValueError("order must be 2, 4 or 6")
+    if x.ndim == 1:
+        x = x[None, :]
+        squeeze = True
+    else:
+        squeeze = False
+    k = x.shape[1]
+    width = order + 1
+    if k < width:
+        raise ValueError(f"need at least {width} snapshots for order {order}")
+    half = order // 2
+    central = _fd_weights(jnp.arange(-half, half + 1))
+
+    cols = [None] * k
+    shifted = jnp.stack([x[:, i:i + k - order] for i in range(width)], axis=1)
+    interior = jnp.einsum("s,nst->nt", central, shifted) / dt
+    for j in range(half):
+        w_lo = _fd_weights(jnp.arange(width) - j)
+        w_hi = -w_lo[::-1]
+        cols[j] = (x[:, :width] @ w_lo) / dt
+        cols[k - 1 - j] = (x[:, -width:] @ w_hi) / dt
+    out = jnp.concatenate(
+        [jnp.stack([cols[j] for j in range(half)], axis=1), interior,
+         jnp.stack([cols[k - half + j] for j in range(half)], axis=1)],
+        axis=1)
+    return out[0] if squeeze else out
+
+
+def xdot_nonuniform(x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Second-order derivatives for arbitrary time points
+    (ref ``_finite_difference.py:109``)."""
+    if x.ndim == 1:
+        x = x[None, :]
+        squeeze = True
+    else:
+        squeeze = False
+    t = jnp.asarray(t)
+    dt_f = t[2:] - t[1:-1]
+    dt_b = t[1:-1] - t[:-2]
+    w_f = dt_b / (dt_f * (dt_f + dt_b))
+    w_b = dt_f / (dt_b * (dt_f + dt_b))
+    w_c = (dt_f - dt_b) / (dt_f * dt_b)
+    interior = (w_f * x[:, 2:] + w_c * x[:, 1:-1] - w_b * x[:, :-2])
+    dt0 = t[1] - t[0]
+    dt1 = t[2] - t[1]
+    first = (-(2 * dt0 + dt1) / (dt0 * (dt0 + dt1)) * x[:, 0]
+             + (dt0 + dt1) / (dt0 * dt1) * x[:, 1]
+             - dt0 / (dt1 * (dt0 + dt1)) * x[:, 2])
+    dtm = t[-1] - t[-2]
+    dtm1 = t[-2] - t[-3]
+    last = ((2 * dtm + dtm1) / (dtm * (dtm + dtm1)) * x[:, -1]
+            - (dtm + dtm1) / (dtm * dtm1) * x[:, -2]
+            + dtm / (dtm1 * (dtm + dtm1)) * x[:, -3])
+    out = jnp.concatenate([first[:, None], interior, last[:, None]], 1)
+    return out[0] if squeeze else out
+
+
+# ------------------------------------------------------------- reprojection
+def reproject_discrete(f: Callable, vr: jnp.ndarray, x0: jnp.ndarray,
+                       n_iters: int, u: jnp.ndarray | None = None):
+    """Discrete-time re-projection rollout in the reduced space
+    (ref ``_reprojection.py:15``): ``x_{j+1} = Vr^T f(Vr x_j [, u_j])``."""
+    x0r = vr.T @ x0
+
+    def step(xr, uj):
+        full = f(vr @ xr) if uj is None else f(vr @ xr, uj)
+        nxt = vr.T @ full
+        return nxt, nxt
+
+    if u is None:
+        _, xs = jax.lax.scan(lambda c, _: step(c, None), x0r,
+                             jnp.arange(n_iters))
+    else:
+        _, xs = jax.lax.scan(step, x0r, u[:n_iters])
+    return jnp.concatenate([x0r[None], xs], axis=0).T
+
+
+def reproject_continuous(f: Callable, vr: jnp.ndarray, x: jnp.ndarray,
+                         u: jnp.ndarray | None = None):
+    """Continuous-time re-projection (ref ``_reprojection.py:67``): returns
+    ``(X_reduced, Xdot_reduced)`` with ``xdot = Vr^T f(Vr Vr^T x)``."""
+    xr = vr.T @ x
+    lifted = vr @ xr
+
+    if u is None:
+        xdot = jax.vmap(f, in_axes=1, out_axes=1)(lifted)
+    else:
+        xdot = jax.vmap(f, in_axes=(1, 1), out_axes=1)(lifted, u)
+    return xr, vr.T @ xdot

@@ -1,0 +1,97 @@
+"""Visualization: isosurface extraction + matplotlib plotting helpers.
+
+Replaces the reference's ``Visualization/`` tower (``mesh_implicit.py``,
+``show_2d.py``, ``show_3d.py``, ``value_viz.py``, ``visualizer.py``).  The
+surface extractor is a from-scratch vectorized marching-tetrahedra
+implementation (scikit-image is not available in this image); plotting
+helpers are thin matplotlib wrappers operating on host numpy copies — keep
+them out of hot loops (the reference redrew matplotlib every solver step,
+``hji_solver.py:731-836``; here visualization is explicit post-processing).
+"""
+from .marching import contour_segments, implicit_mesh, marching_tetrahedra
+
+__all__ = [
+    "contour_segments",
+    "implicit_mesh",
+    "marching_tetrahedra",
+    "plot_zero_contour",
+    "plot_isosurface",
+    "plot_value_dashboard",
+]
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_zero_contour(grid, phi, level=0.0, ax=None, **kw):
+    """2D zero-level-set plot (ref ``show_2d.py:13``)."""
+    import numpy as np
+
+    plt = _mpl()
+    if ax is None:
+        _, ax = plt.subplots()
+    segs = contour_segments(np.asarray(phi), level=level,
+                            spacing=np.asarray(grid.dx),
+                            origin=np.asarray(grid.lo))
+    from matplotlib.collections import LineCollection
+
+    ax.add_collection(LineCollection(segs, **kw))
+    ax.set_xlim(grid.lo[0], grid.hi[0])
+    ax.set_ylim(grid.lo[1], grid.hi[1])
+    ax.set_aspect("equal")
+    return ax
+
+
+def plot_isosurface(grid, phi, level=0.0, ax=None, **kw):
+    """3D implicit-surface plot via marching tetrahedra + Poly3DCollection
+    (ref ``mesh_implicit.py:12,46``, ``show_3d.py:18``)."""
+    import numpy as np
+
+    plt = _mpl()
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+    verts, faces = implicit_mesh(grid, np.asarray(phi), level=level)
+    if len(faces):
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+        kw.setdefault("alpha", 0.7)
+        ax.add_collection3d(Poly3DCollection(verts[faces], **kw))
+    ax.set_xlim(grid.lo[0], grid.hi[0])
+    ax.set_ylim(grid.lo[1], grid.hi[1])
+    ax.set_zlim(grid.lo[2], grid.hi[2])
+    return ax
+
+
+def plot_value_dashboard(grid, phi, level=0.0, fig=None):
+    """1x3 dashboard — surface, filled contour, zero set — for 2D value
+    functions (ref ``value_viz.py:22,209`` ``levelset_viz``)."""
+    import numpy as np
+
+    plt = _mpl()
+    if fig is None:
+        fig = plt.figure(figsize=(12, 4))
+    phi = np.asarray(phi)
+    x = np.linspace(grid.lo[0], grid.hi[0], grid.shape[0])
+    y = np.linspace(grid.lo[1], grid.hi[1], grid.shape[1])
+    xx, yy = np.meshgrid(x, y, indexing="ij")
+
+    ax0 = fig.add_subplot(1, 3, 1, projection="3d")
+    ax0.plot_surface(xx, yy, phi, cmap="viridis", linewidth=0)
+    ax0.set_title("value surface")
+
+    ax1 = fig.add_subplot(1, 3, 2)
+    m = ax1.contourf(xx, yy, phi, levels=21)
+    fig.colorbar(m, ax=ax1)
+    ax1.set_title("value contours")
+
+    ax2 = fig.add_subplot(1, 3, 3)
+    plot_zero_contour(grid, phi, level=level, ax=ax2, colors="crimson")
+    ax2.set_title(f"level set {level:g}")
+    return fig

@@ -1,0 +1,207 @@
+"""Isosurface extraction: vectorized marching tetrahedra (3D) and marching
+squares (2D).
+
+Replaces the reference's dependency on ``skimage.measure.marching_cubes``
+(``Visualization/mesh_implicit.py:12,46``) — scikit-image is not in this
+image, so the extractor is implemented from scratch.  Marching *tetrahedra*
+is used instead of classic marching cubes: each cell splits into 6 tetrahedra
+around the main diagonal and every tetrahedron has only 16 sign cases, all
+derivable programmatically (no 256-entry lookup tables to transcribe, no
+ambiguous saddle cases).  The output is a watertight triangle soup with
+vertices linearly interpolated onto the level set.
+
+Everything is vectorized numpy (host-side post-processing, like the
+reference's viz path): one boolean classification per tet type, per-case
+gather + lerp.  Typical 101^3 grids extract in well under a second.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["marching_tetrahedra", "contour_segments", "implicit_mesh"]
+
+# Corner offsets of a cell, bit order (x, y, z).
+_CORNERS = np.array([
+    [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+])
+
+# Six tetrahedra around the main diagonal c0-c6.
+_TETS = np.array([
+    [0, 1, 2, 6],
+    [0, 2, 3, 6],
+    [0, 3, 7, 6],
+    [0, 7, 4, 6],
+    [0, 4, 5, 6],
+    [0, 5, 1, 6],
+])
+
+
+def _tet_case_table():
+    """Triangles per inside-mask case: each triangle is 3 crossing edges,
+    each edge a (vertex, vertex) pair of local tet indices."""
+    table = []
+    for idx in range(16):
+        inside = [(idx >> i) & 1 == 1 for i in range(4)]
+        ins = [i for i in range(4) if inside[i]]
+        outs = [i for i in range(4) if not inside[i]]
+        if len(ins) in (0, 4):
+            tris = []
+        elif len(ins) == 1:
+            a = ins[0]
+            tris = [[(a, outs[0]), (a, outs[1]), (a, outs[2])]]
+        elif len(ins) == 3:
+            a = outs[0]
+            tris = [[(a, ins[0]), (a, ins[1]), (a, ins[2])]]
+        else:  # two inside: quad (ac, ad, bd, bc) -> two triangles
+            a, b = ins
+            c, d = outs
+            tris = [
+                [(a, c), (a, d), (b, d)],
+                [(a, c), (b, d), (b, c)],
+            ]
+        table.append(tris)
+    return table
+
+
+_CASES = _tet_case_table()
+
+
+def marching_tetrahedra(phi: np.ndarray, level: float = 0.0, spacing=None,
+                        origin=None):
+    """Extract the ``phi == level`` isosurface of a 3D scalar field.
+
+    Returns ``(vertices, faces)``: float vertices in world coordinates
+    (``origin + index * spacing``) and int ``(M, 3)`` faces indexing them.
+    Vertices are deduplicated per crossing edge.
+    """
+    phi = np.asarray(phi)
+    if phi.ndim != 3:
+        raise ValueError("marching_tetrahedra needs a 3D field")
+    if phi.min() > level or phi.max() < level:
+        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
+    spacing = np.ones(3) if spacing is None else np.asarray(spacing, float)
+    origin = np.zeros(3) if origin is None else np.asarray(origin, float)
+
+    nx, ny, nz = phi.shape
+    # cell-corner values: (ncells, 8)
+    base = np.stack(np.meshgrid(np.arange(nx - 1), np.arange(ny - 1),
+                                np.arange(nz - 1), indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    corner_idx = base[:, None, :] + _CORNERS[None, :, :]  # (C, 8, 3)
+    vals = phi[corner_idx[..., 0], corner_idx[..., 1], corner_idx[..., 2]]
+
+    tri_edges_a = []
+    tri_edges_b = []
+    for tet in _TETS:
+        tvals = vals[:, tet]                       # (C, 4)
+        tcorn = corner_idx[:, tet]                 # (C, 4, 3)
+        inside = tvals < level
+        case = (inside * (1 << np.arange(4))).sum(axis=1)
+        for c in range(1, 15):
+            tris = _CASES[c]
+            if not tris:
+                continue
+            sel = np.nonzero(case == c)[0]
+            if sel.size == 0:
+                continue
+            for tri in tris:
+                ea = np.stack([tcorn[sel, i] for (i, _) in tri], axis=1)
+                eb = np.stack([tcorn[sel, j] for (_, j) in tri], axis=1)
+                tri_edges_a.append(ea.reshape(-1, 3))
+                tri_edges_b.append(eb.reshape(-1, 3))
+
+    if not tri_edges_a:
+        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
+
+    ea = np.concatenate(tri_edges_a)  # (3*M, 3) grid index of edge endpoint A
+    eb = np.concatenate(tri_edges_b)
+
+    # canonical edge key for dedup (sorted endpoint pair)
+    flat_a = (ea[:, 0] * ny + ea[:, 1]) * nz + ea[:, 2]
+    flat_b = (eb[:, 0] * ny + eb[:, 1]) * nz + eb[:, 2]
+    lo = np.minimum(flat_a, flat_b)
+    hi = np.maximum(flat_a, flat_b)
+    key = lo * (nx * ny * nz) + hi
+    uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+
+    ua, ub = ea[first], eb[first]
+    fa = phi[ua[:, 0], ua[:, 1], ua[:, 2]]
+    fb = phi[ub[:, 0], ub[:, 1], ub[:, 2]]
+    t = (level - fa) / np.where(fb != fa, fb - fa, 1.0)
+    t = np.clip(t, 0.0, 1.0)[:, None]
+    verts = origin + spacing * (ua + t * (ub - ua))
+    faces = inv.reshape(-1, 3)
+    # drop degenerate triangles (repeated vertex indices)
+    good = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+            & (faces[:, 0] != faces[:, 2]))
+    return verts, faces[good]
+
+
+def contour_segments(phi: np.ndarray, level: float = 0.0, spacing=None,
+                     origin=None):
+    """2D zero-contour line segments by marching squares on triangles (each
+    cell split into 4 triangles around its center).  Returns ``(P, 2, 2)``
+    segment endpoints in world coordinates."""
+    phi = np.asarray(phi)
+    if phi.ndim != 2:
+        raise ValueError("contour_segments needs a 2D field")
+    spacing = np.ones(2) if spacing is None else np.asarray(spacing, float)
+    origin = np.zeros(2) if origin is None else np.asarray(origin, float)
+    nx, ny = phi.shape
+    # triangle soup: corners (i,j),(i+1,j),(i+1,j+1),(i,j+1) and center
+    ii, jj = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1), indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    corners = np.stack([
+        np.stack([ii, jj], 1), np.stack([ii + 1, jj], 1),
+        np.stack([ii + 1, jj + 1], 1), np.stack([ii, jj + 1], 1),
+    ], axis=1).astype(float)                      # (C, 4, 2)
+    vals = np.stack([phi[ii, jj], phi[ii + 1, jj], phi[ii + 1, jj + 1],
+                     phi[ii, jj + 1]], axis=1)
+    center = corners.mean(axis=1)
+    cval = vals.mean(axis=1)
+
+    segs = []
+    for k in range(4):
+        a = corners[:, k]
+        b = corners[:, (k + 1) % 4]
+        fa, fb = vals[:, k], vals[:, (k + 1) % 4]
+        fc = cval
+        c = center
+        # triangle (a, b, c): find sign-change edges
+        pts = []
+        for (p, q, fp, fq) in ((a, b, fa, fb), (b, c, fb, fc),
+                               (c, a, fc, fa)):
+            # class-based crossing test so nodes EXACTLY on the level still
+            # produce a consistent contour (strict product-sign tests drop
+            # those edges and leave gaps)
+            cross = (fp < level) != (fq < level)
+            t = np.where(cross, (level - fp) / np.where(fq != fp, fq - fp, 1),
+                         np.nan)
+            pts.append((cross, p + np.clip(t, 0, 1)[:, None] * (q - p)))
+        crossings = np.stack([c for c, _ in pts], axis=1)   # (C, 3)
+        two = crossings.sum(axis=1) == 2
+        if not two.any():
+            continue
+        sel = np.nonzero(two)[0]
+        pair = np.full((sel.size, 2, 2), np.nan)
+        slot = np.zeros(sel.size, dtype=int)
+        for cross, xy in pts:
+            has = cross[sel]
+            idxs = np.nonzero(has)[0]
+            pair[idxs, np.minimum(slot[idxs], 1)] = xy[sel][idxs]
+            slot[idxs] += 1
+        segs.append(pair)
+    if not segs:
+        return np.zeros((0, 2, 2))
+    out = np.concatenate(segs)
+    return origin + spacing * out
+
+
+def implicit_mesh(grid, phi, level: float = 0.0):
+    """Reference-shaped convenience (``Visualization/mesh_implicit.py:12``):
+    marching-tetrahedra surface of a grid-shaped field in grid world
+    coordinates.  Returns ``(vertices, faces)``."""
+    phi = np.asarray(phi)
+    return marching_tetrahedra(phi, level=level, spacing=np.asarray(grid.dx),
+                               origin=np.asarray(grid.lo))
