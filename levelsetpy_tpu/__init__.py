@@ -37,5 +37,12 @@ from .values import (compute_gradients, eval_u, optimal_trajectory, proj)
 from .systems.base import System, register_system
 from .systems.double_integrator import DoubleIntegrator
 from .systems.dubins import DubinsAbs, DubinsRel
+from .systems.flock import Flock
+from .extra_terms import (make_convection_term, make_curvature_term,
+                          make_discount_term, make_forcing_term,
+                          make_normal_term, make_reinit_term,
+                          make_trace_hessian_term, reinitialize,
+                          restrict_update, sum_terms)
+from .checkpoint import load_checkpoint, resume_tau, save_checkpoint
 
 __version__ = "0.1.0"

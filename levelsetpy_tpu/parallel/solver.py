@@ -157,7 +157,7 @@ def solve_sharded(
         tgt_local = rest.pop(0) if targets is not None else None
         ops = shard_ops(grid, shard_axes, mesh_axes)
         xs = local_coords(grid, shard_axes, v0_local.dtype)
-        return _solve_core(
+        values, changes, stop_index, steps, _ = _solve_core(
             grid=grid, cfg=cfg, comp_method=comp_method, system=system,
             v0=v0_local, tau=tau, xs=xs, ops=ops,
             obstacles=obs_local, obstacles_tv=obstacles_tv,
@@ -168,6 +168,7 @@ def solve_sharded(
             trim=lambda v: v, save_all=save_all,
             use_precomputed=use_precomputed,
         )
+        return values, changes, stop_index, steps
 
     extra_args, extra_specs = [], []
     if obstacles is not None:

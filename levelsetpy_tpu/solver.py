@@ -64,6 +64,10 @@ class SolveResult(NamedTuple):
     stop_index: jnp.ndarray    # first interval index where an early stop hit
                                # (T-1 if none)
     steps: jnp.ndarray         # total RK steps taken
+    #: first time each node entered the set (linear zero-crossing interp,
+    #: ref Helper/post_ttr.py); inf where never reached; None unless
+    #: record_ttr was requested
+    ttr: jnp.ndarray | None = None
 
 
 def _solve_core(
@@ -88,6 +92,7 @@ def _solve_core(
     trim: Callable,
     save_all: bool,
     use_precomputed: bool,
+    record_ttr: bool = False,
 ):
     """The solver loop, written once for every execution mode.
 
@@ -137,8 +142,12 @@ def _solve_core(
             v = gamma * v + (1.0 - gamma) * base
         return v
 
+    inf = jnp.asarray(jnp.inf, v0.dtype)
+    ttr0 = (jnp.where(v0 <= 0, jnp.zeros_like(v0), inf)
+            if record_ttr else jnp.zeros((), v0.dtype))
+
     def interval(carry, i):
-        v_in, done, steps = carry
+        v_in, done, steps, ttr_in = carry
         t0 = tau[i]
         t1 = tau[i + 1]
         small = small_scale * jnp.abs(t1)
@@ -150,27 +159,35 @@ def _solve_core(
         else:
             tgt_i = jnp.zeros((), v0.dtype)  # unused placeholder
 
-        def do(v):
+        def do(v, ttr):
             def cond(c):
-                t, _, _ = c
+                t, _, _, _ = c
                 return t < t1 - small
 
             def body(c):
-                t, v, n = c
+                t, v, n, ttr = c
                 v_last = v
-                t, v = cfl_step(rhs, t, v, t1, cfg.factor_cfl,
-                                cfg.rk_order, cfg.max_step)
+                t_new, v = cfl_step(rhs, t, v, t1, cfg.factor_cfl,
+                                    cfg.rk_order, cfg.max_step)
                 v = apply_comp(v, v_last, v0, tgt_i)
                 if obs_i is not None:
                     v = jnp.maximum(v, -obs_i)
-                return t, v, n + 1
+                if record_ttr:
+                    # first-crossing time by linear interpolation of the
+                    # sign change (ref Helper/post_ttr.py:8)
+                    crossed = (v_last > 0) & (v <= 0) & jnp.isinf(ttr)
+                    frac = v_last / jnp.where(v_last != v, v_last - v, 1.0)
+                    t_cross = t + (t_new - t) * frac
+                    ttr = jnp.where(crossed, t_cross, ttr)
+                return t_new, v, n + 1, ttr
 
-            _, v, n = jax.lax.while_loop(
-                cond, body, (t0, v, jnp.zeros((), jnp.int32)))
-            return v, n
+            _, v, n, ttr = jax.lax.while_loop(
+                cond, body, (t0, v, jnp.zeros((), jnp.int32), ttr))
+            return v, n, ttr
 
-        v_new, n_steps = jax.lax.cond(
-            done, lambda v: (v, jnp.zeros((), jnp.int32)), do, v_in)
+        v_new, n_steps, ttr_new = jax.lax.cond(
+            done, lambda v, ttr: (v, jnp.zeros((), jnp.int32), ttr),
+            do, v_in, ttr_in)
         change = ops.reduce_max(jnp.abs(trim(v_new) - trim(v_in)))
 
         new_done = done
@@ -181,11 +198,12 @@ def _solve_core(
             new_done = new_done | (init_val <= 0)
 
         out = v_new if save_all else None
-        return (v_new, new_done, steps + n_steps), (out, change, done)
+        return (v_new, new_done, steps + n_steps, ttr_new), \
+            (out, change, done)
 
-    (v_fin, _, steps), (vs, changes, was_done) = jax.lax.scan(
+    (v_fin, _, steps, ttr_fin), (vs, changes, was_done) = jax.lax.scan(
         interval,
-        (v0, jnp.zeros((), jnp.bool_), jnp.zeros((), jnp.int32)),
+        (v0, jnp.zeros((), jnp.bool_), jnp.zeros((), jnp.int32), ttr0),
         jnp.arange(n_tau - 1),
     )
     stop_index = jnp.where(jnp.any(was_done), jnp.argmax(was_done),
@@ -194,7 +212,8 @@ def _solve_core(
         values = jnp.concatenate([v0[None], vs], axis=0)
     else:
         values = v_fin[None]
-    return values, changes, stop_index, steps
+    return values, changes, stop_index, steps, \
+        (ttr_fin if record_ttr else None)
 
 
 def solve(
@@ -212,6 +231,7 @@ def solve(
     converge_threshold: float | None = None,
     ignore_boundary: bool = False,
     save_all: bool = True,
+    record_ttr: bool = False,
 ) -> SolveResult:
     """Solve the HJI PDE over checkpoint times ``tau`` on a single device.
 
@@ -281,8 +301,9 @@ def solve(
             has_discount=discount_factor is not None,
             stop_state=stop_state, converge_threshold=converge_threshold,
             trim=trim, save_all=save_all, use_precomputed=use_precomputed,
+            record_ttr=record_ttr,
         )
 
-    values, changes, stop_index, steps = run(system, v0, tau)
+    values, changes, stop_index, steps, ttr = run(system, v0, tau)
     return SolveResult(values=values, tau=tau, changes=changes,
-                       stop_index=stop_index, steps=steps)
+                       stop_index=stop_index, steps=steps, ttr=ttr)

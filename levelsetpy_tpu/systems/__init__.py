@@ -1,6 +1,7 @@
 from .base import System, register_system, static_field
 from .double_integrator import DoubleIntegrator
 from .dubins import DubinsAbs, DubinsRel
+from .flock import Flock
 
 __all__ = [
     "System",
@@ -9,4 +10,5 @@ __all__ = [
     "DoubleIntegrator",
     "DubinsAbs",
     "DubinsRel",
+    "Flock",
 ]
