@@ -198,10 +198,21 @@ def contour_segments(phi: np.ndarray, level: float = 0.0, spacing=None,
     return origin + spacing * out
 
 
-def implicit_mesh(grid, phi, level: float = 0.0):
+def implicit_mesh(grid, phi, level: float = 0.0, use_native: bool = True):
     """Reference-shaped convenience (``Visualization/mesh_implicit.py:12``):
     marching-tetrahedra surface of a grid-shaped field in grid world
-    coordinates.  Returns ``(vertices, faces)``."""
+    coordinates.  Returns ``(vertices, faces)``.
+
+    Uses the native C++ extractor when built (~100x the numpy path, same
+    decomposition; ``scripts/build_native.sh``), else vectorized numpy.
+    """
     phi = np.asarray(phi)
+    if use_native:
+        from ._native import marching_tetrahedra_native, native_available
+
+        if native_available():
+            return marching_tetrahedra_native(
+                phi, level=level, spacing=np.asarray(grid.dx),
+                origin=np.asarray(grid.lo))
     return marching_tetrahedra(phi, level=level, spacing=np.asarray(grid.dx),
                                origin=np.asarray(grid.lo))

@@ -209,6 +209,31 @@ class TestMarching:
         verts, faces = marching_tetrahedra(phi)
         assert len(verts) == 0 and len(faces) == 0
 
+    def test_native_extractor_matches_numpy(self):
+        """The C++ extractor implements the same decomposition as the numpy
+        oracle: identical vertex/face counts, watertight, on-level."""
+        from levelsetpy_tpu.viz._native import (marching_tetrahedra_native,
+                                                native_available)
+
+        if not native_available():
+            pytest.skip("native extractor not built")
+        g = create_grid([-2, -2, -2], [2, 2, 2], 33)
+        phi = np.asarray(sphere(g, radius=1.1, dtype=jnp.float64))
+        sp, og = np.asarray(g.dx), np.asarray(g.lo)
+        v1, f1 = marching_tetrahedra(phi, 0.0, sp, og)
+        v2, f2 = marching_tetrahedra_native(phi, 0.0, sp, og)
+        assert len(v1) == len(v2) and len(f1) == len(f2)
+        r = np.linalg.norm(v2, axis=1)
+        assert np.abs(r - 1.1).max() < 0.02
+        # watertight: every edge shared by exactly two faces
+        from collections import Counter
+
+        cnt = Counter()
+        for f in f2:
+            for a, b in ((f[0], f[1]), (f[1], f[2]), (f[0], f[2])):
+                cnt[(min(a, b), max(a, b))] += 1
+        assert set(cnt.values()) == {2}
+
     def test_contour_segments_circle(self):
         g = create_grid([-2, -2], [2, 2], 81)
         phi = np.asarray(sphere(g, radius=1.0, dtype=jnp.float64))
