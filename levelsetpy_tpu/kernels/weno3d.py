@@ -1,0 +1,237 @@
+"""Fused Pallas TPU kernel: full 3-D HJ right-hand side in one pass.
+
+The XLA path (``terms.hj_rhs``) evaluates per-axis WENO5 stencils, the
+Hamiltonian and the LF dissipation as separate fused loops — each
+materializes grid-sized intermediates, so one RHS moves ~25 array passes of
+HBM traffic.  This kernel computes EVERYTHING for a slab of the grid inside
+VMEM: one DMA of the (ghost-padded) slab in, derivL/derivR for all three
+axes, the (traced-in, system-specific) Hamiltonian callback, the dissipation
+sum, one DMA of the result out.  Steady-state traffic drops to
+``read(V_pad) + read(3 alphas) + write(V_dot)`` and the kernel becomes
+VPU-bound (~350 flops/element) instead of HBM-bound.
+
+TPU lowering constraints shape the implementation:
+  * Mosaic requires lane-dimension (last-axis) slices to be 128-aligned, so
+    the kernel NEVER slices the last axis: all arrays keep the padded lane
+    width ``zp = z + 6`` end to end, axis-2 stencil shifts use
+    ``pltpu.roll`` (lane rotation), the wrap-around lanes carry garbage
+    that the caller discards with one XLA slice of the output, and the
+    alpha inputs arrive pre-widened to ``zp`` lanes.
+  * Blocking tiles the leading axis in ``block_x`` rows; the final partial
+    block CLAMPS its start (recomputing a few overlapping rows, rewriting
+    identical values) so arbitrary X — including prime sizes like 101 —
+    needs no padding.
+  * System parameters arrive as a flat SMEM vector (kernels cannot capture
+    traced closure constants); the Hamiltonian callback rebuilds the system
+    pytree from it.
+
+The WENO5 candidate/smoothness math is the SAME formulation as
+``derivatives.weno5_from_padded`` (O&F (3.25)-(3.41)); equality to the XLA
+path at f32 tolerance is asserted in tests.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grid import Grid
+
+__all__ = ["fused_hj_rhs_3d", "fits_vmem"]
+
+
+def _win(a, axis, off, n):
+    return jax.lax.slice_in_dim(a, off, off + n, axis=axis)
+
+
+def _weno_side(v1, v2, v3, v4, v5, w1, w2, w3, eps):
+    """WENO5 convex combination — O&F (3.25)-(3.41), identical math to
+    derivatives._candidates/_smoothness/_weno_combine."""
+    p1 = v1 * (1 / 3) - v2 * (7 / 6) + v3 * (11 / 6)
+    p2 = -v2 * (1 / 6) + v3 * (5 / 6) + v4 * (1 / 3)
+    p3 = v3 * (1 / 3) + v4 * (5 / 6) - v5 * (1 / 6)
+    s1 = (13 / 12) * (v1 - 2 * v2 + v3) ** 2 \
+        + 0.25 * (v1 - 4 * v2 + 3 * v3) ** 2
+    s2 = (13 / 12) * (v2 - 2 * v3 + v4) ** 2 + 0.25 * (v2 - v4) ** 2
+    s3 = (13 / 12) * (v3 - 2 * v4 + v5) ** 2 \
+        + 0.25 * (3 * v3 - 4 * v4 + v5) ** 2
+    a1 = w1 / (s1 + eps) ** 2
+    a2 = w2 / (s2 + eps) ** 2
+    a3 = w3 / (s3 + eps) ** 2
+    return (a1 * p1 + a2 * p2 + a3 * p3) / (a1 + a2 + a3)
+
+
+def _weno_axis01(d1, axis, n, eps):
+    """derivL/derivR from a D1 table along axis 0 or 1 (sliceable dims)."""
+    vl = tuple(_win(d1, axis, k, n) for k in range(5))
+    vr = tuple(_win(d1, axis, 5 - k, n) for k in range(5))
+    return (_weno_side(*vl, 0.1, 0.6, 0.3, eps),
+            _weno_side(*vr, 0.1, 0.6, 0.3, eps))
+
+
+def _weno_lane_axis(g2, inv_dx, eps):
+    """derivL/derivR along the LANE axis via rolls, full width.
+
+    ``g2``: (BX, y, zp) padded values.  D1[j] = (g[j+1] - g[j]) / dx lives at
+    lane j; for the node at padded lane m, the left-deriv one-sided diffs are
+    ``v_k = D1[m - 4 + k]`` (roll by 4-k) and the right-deriv mirrored set is
+    ``v_k = D1[m + 2 - k]`` (roll by k-2).  Lanes outside [3, zp-3) hold
+    wrap-around garbage the caller slices off.
+    """
+    def _roll(a, s):
+        # pltpu.roll demands non-negative shifts; rotate modulo lane width
+        return pltpu.roll(a, s % a.shape[2], 2)
+
+    d1 = (_roll(g2, -1) - g2) * inv_dx
+    vl = tuple(_roll(d1, 4 - k) for k in range(1, 6))
+    vr = tuple(_roll(d1, k - 2) for k in range(1, 6))
+    return (_weno_side(*vl, 0.1, 0.6, 0.3, eps),
+            _weno_side(*vr, 0.1, 0.6, 0.3, eps))
+
+
+def fits_vmem(grid: Grid, block_x: int = 8, dtype_bytes: int = 4,
+              budget_bytes: int = 12 * 1024 * 1024) -> bool:
+    """Rough feasibility check for the slab kernel's VMEM working set."""
+    _, y, z = grid.shape
+    lanes = -(-(z + 6) // 128) * 128
+    slab = (block_x + 6) * (y + 6) * lanes * dtype_bytes
+    # ~10 live slab-sized temporaries during the per-axis WENO evaluation
+    return slab * 10 < budget_bytes
+
+
+def fused_hj_rhs_3d(
+    grid: Grid,
+    ham_fn: Callable,
+    v_pad: jnp.ndarray,          # (X+6, Y+6, Z+6) ghost-padded value fn
+    alphas: tuple,               # 3 dissipation bounds, broadcastable (X,Y,Z)
+    eps,                         # WENO epsilon, scalar or per-axis (3,)
+    t,                           # time (scalar, forwarded to ham_fn)
+    params: jnp.ndarray | None = None,   # flat system parameters (SMEM)
+    block_x: int = 8,
+) -> jnp.ndarray:
+    """One fused RHS evaluation: returns ``V_dot = -(H - diss)``.
+
+    ``ham_fn(t, (i0, i1, i2), (p1, p2, p3), params_ref) -> H`` receives the
+    slab's starting grid index per axis (the lane axis index is the PADDED
+    offset minus 3 — i.e. coordinates follow ``idx - 3`` lanes), the central
+    derivatives (lane width ``zp``), and the SMEM params ref.
+    """
+    xp, yp0, zp0 = v_pad.shape
+    x, y, z = xp - 6, yp0 - 6, zp0 - 6
+    if (x, y, z) != grid.shape:
+        raise ValueError(f"padded shape {v_pad.shape} does not match grid "
+                         f"{grid.shape}")
+    if x < block_x:
+        block_x = x
+    n_blocks = pl.cdiv(x, block_x)
+    dtype = v_pad.dtype
+    # python floats (static literals): traced scalars would be captured
+    # closure constants, which pallas kernels reject
+    inv_dx = tuple(float(1.0 / d) for d in grid.dx)
+
+    # Mosaic requires DMA-sliced refs to have tile-aligned trailing dims:
+    # widen lanes to a 128 multiple and sublanes to an 8 multiple with junk
+    # that the final XLA slice discards.
+    zp = -(-zp0 // 128) * 128
+    ny = -(-y // 8) * 8   # interior-y width incl. junk columns (8-aligned)
+    yp = max(-(-yp0 // 8) * 8, ny + 6)
+    v_pad = jnp.pad(v_pad, ((0, 0), (0, yp - yp0), (0, zp - zp0)))
+
+    # alphas arrive lane-widened so the kernel never slices lanes
+    alphas_w = []
+    for a in alphas:
+        a = jnp.broadcast_to(a, (x, y, z)).astype(dtype)
+        alphas_w.append(jnp.pad(
+            a, ((0, 0), (0, ny - y), (3, 3 + zp - zp0))))
+
+    def kernel(eps_ref, t_ref, params_ref, vpad_hbm, a0_hbm, a1_hbm, a2_hbm,
+               out_hbm, slab, a0s, a1s, a2s, stage, sems):
+        i = pl.program_id(0)
+        sx = jnp.minimum(i * block_x, x - block_x)  # clamped tail start
+
+        vdma = pltpu.make_async_copy(
+            vpad_hbm.at[pl.ds(sx, block_x + 6)], slab, sems.at[0])
+        a0dma = pltpu.make_async_copy(
+            a0_hbm.at[pl.ds(sx, block_x)], a0s, sems.at[1])
+        a1dma = pltpu.make_async_copy(
+            a1_hbm.at[pl.ds(sx, block_x)], a1s, sems.at[2])
+        a2dma = pltpu.make_async_copy(
+            a2_hbm.at[pl.ds(sx, block_x)], a2s, sems.at[3])
+        vdma.start()
+        a0dma.start()
+        a1dma.start()
+        a2dma.start()
+        vdma.wait()
+
+        g = slab[:]                       # (BX+6, yp, zp)
+        tt = t_ref[0]
+
+        # ---- axis 0: slice dims 0/1 only
+        g0 = g[:, 3:3 + ny, :]
+        d1 = (g0[1:] - g0[:-1]) * inv_dx[0]          # (BX+5, ny, zp)
+        dl0, dr0 = _weno_axis01(d1, 0, block_x, eps_ref[0])
+        # ---- axis 1
+        g1 = g[3:3 + block_x, :, :]
+        d1 = (g1[:, 1:] - g1[:, :-1]) * inv_dx[1]
+        dl1, dr1 = _weno_axis01(d1, 1, ny, eps_ref[1])
+        # ---- axis 2 (lane axis): rolls, full width
+        g2 = g[3:3 + block_x, 3:3 + ny, :]
+        dl2, dr2 = _weno_lane_axis(g2, inv_dx[2], eps_ref[2])
+
+        p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
+        ham = ham_fn(tt, (sx, 0, -3), p, params_ref)
+
+        a0dma.wait()
+        a1dma.wait()
+        a2dma.wait()
+        diss = (0.5 * (dr0 - dl0) * a0s[:]
+                + 0.5 * (dr1 - dl1) * a1s[:]
+                + 0.5 * (dr2 - dl2) * a2s[:])
+        stage[:] = -(ham - diss)
+
+        out_dma = pltpu.make_async_copy(
+            stage, out_hbm.at[pl.ds(sx, block_x)], sems.at[4])
+        out_dma.start()
+        out_dma.wait()
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # eps
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # t
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # params
+            # keep the big arrays in HBM: DMA engines handle arbitrary
+            # slice offsets there, while ANY may place them in VMEM where
+            # memref slices must be 128-lane aligned
+            pl.BlockSpec(memory_space=pltpu.HBM),    # v_pad
+            pl.BlockSpec(memory_space=pltpu.HBM),    # alpha0
+            pl.BlockSpec(memory_space=pltpu.HBM),    # alpha1
+            pl.BlockSpec(memory_space=pltpu.HBM),    # alpha2
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((x, ny, zp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_x + 6, yp, zp), dtype),
+            pltpu.VMEM((block_x, ny, zp), dtype),
+            pltpu.VMEM((block_x, ny, zp), dtype),
+            pltpu.VMEM((block_x, ny, zp), dtype),
+            pltpu.VMEM((block_x, ny, zp), dtype),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        jnp.broadcast_to(jnp.asarray(eps, dtype), (3,)),
+        jnp.asarray(t, dtype).reshape(1),
+        (jnp.zeros((1,), dtype) if params is None
+         else jnp.asarray(params, dtype).reshape(-1)),
+        v_pad,
+        *alphas_w,
+    )
+    # drop the junk columns and wrap-around lanes (one cheap XLA slice)
+    return out[:, :y, 3:3 + z]

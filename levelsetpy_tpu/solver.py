@@ -35,6 +35,7 @@ sweeps) or initial conditions is ``jax.vmap(solve_fn)`` — the BASELINE
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -216,6 +217,46 @@ def _solve_core(
         (ttr_fin if record_ttr else None)
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
+                discount_mode, has_discount, converge_threshold,
+                ignore_boundary, save_all, use_precomputed, record_ttr):
+    """Jitted solver entry, memoized on every static knob so repeated
+    ``solve`` calls (replanning loops, parameter sweeps) reuse the trace and
+    executable.  Everything concrete is a jit ARGUMENT, not a closure:
+    closed-over concrete arrays trigger eager op dispatch during tracing
+    (each a device round trip — minutes over a remote-TPU link) and bake
+    constants into the executable; as arguments they trace abstractly and
+    XLA's loop-invariant code motion hoists the derived coefficient
+    arrays out of the time loop."""
+
+    def trim(v):
+        # Interior view for convergence checks (ref ignoreBoundary trims
+        # 4*dx per side, hji_solver.py:507,663).
+        if not ignore_boundary:
+            return v
+        sl = tuple(
+            slice(4, s - 4) if s > 8 else slice(None) for s in grid.shape
+        )
+        return v[sl]
+
+    @jax.jit
+    def run(system, v0, tau, xs, obstacles, targets, gamma, stop_state):
+        return _solve_core(
+            grid=grid, cfg=cfg, comp_method=comp_method, system=system,
+            v0=v0, tau=tau, xs=xs, ops=local_ops(grid),
+            obstacles=obstacles, obstacles_tv=obstacles_tv,
+            targets=targets, targets_tv=targets_tv,
+            gamma=gamma, discount_mode=discount_mode,
+            has_discount=has_discount,
+            stop_state=stop_state, converge_threshold=converge_threshold,
+            trim=trim, save_all=save_all, use_precomputed=use_precomputed,
+            record_ttr=record_ttr,
+        )
+
+    return run
+
+
 def solve(
     grid: Grid,
     system: System,
@@ -280,30 +321,12 @@ def solve(
     stop_state = (jnp.asarray(stop_init, v0.dtype)
                   if stop_init is not None else None)
 
-    def trim(v):
-        """Interior view for convergence checks (ref ignoreBoundary trims
-        4*dx per side, hji_solver.py:507,663)."""
-        if not ignore_boundary:
-            return v
-        sl = tuple(
-            slice(4, s - 4) if s > 8 else slice(None) for s in grid.shape
-        )
-        return v[sl]
-
-    @jax.jit
-    def run(system, v0, tau):
-        return _solve_core(
-            grid=grid, cfg=cfg, comp_method=comp_method, system=system,
-            v0=v0, tau=tau, xs=xs, ops=local_ops(grid),
-            obstacles=obstacles, obstacles_tv=obstacles_tv,
-            targets=targets, targets_tv=targets_tv,
-            gamma=gamma, discount_mode=discount_mode,
-            has_discount=discount_factor is not None,
-            stop_state=stop_state, converge_threshold=converge_threshold,
-            trim=trim, save_all=save_all, use_precomputed=use_precomputed,
-            record_ttr=record_ttr,
-        )
-
-    values, changes, stop_index, steps, ttr = run(system, v0, tau)
+    run = _cached_run(
+        grid, cfg, comp_method, obstacles_tv, targets_tv, discount_mode,
+        discount_factor is not None, converge_threshold, ignore_boundary,
+        save_all, use_precomputed, record_ttr,
+    )
+    values, changes, stop_index, steps, ttr = run(
+        system, v0, tau, xs, obstacles, targets, gamma, stop_state)
     return SolveResult(values=values, tau=tau, changes=changes,
                        stop_index=stop_index, steps=steps, ttr=ttr)

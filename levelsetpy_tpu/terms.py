@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Literal, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from .boundary import pad_axis
@@ -83,6 +84,10 @@ class SchemeConfig:
     #: 'min'/'max' clamps the update sign (ref ``termRestrictUpdate``,
     #: ``term_restrict_update.py:83-102``) — 'min' freezes growth for BRTs.
     restrict_update: str | None = None
+    #: route the RHS through the fused Pallas slab kernel when eligible
+    #: (3-D grid, WENO5, precomputed alphas, transverse planes fit VMEM —
+    #: see kernels/weno3d.py).  Ineligible configs fall back silently.
+    use_pallas: bool = False
 
     def deriv(self):
         return upwind_fn(self.accuracy)[0]
@@ -160,6 +165,76 @@ def hj_rhs(
     nd = grid.ndim
     if ops is None:
         ops = local_ops(grid)
+
+    if (cfg.use_pallas and nd == 3 and alpha_bounds is not None
+            and cfg.accuracy in ("veryHigh", "weno5")
+            and cfg.dissipation == "global"):
+        from .kernels.weno3d import fits_vmem, fused_hj_rhs_3d
+
+        if fits_vmem(grid):
+            v_pad = v
+            for axis in range(3):
+                v_pad = ops.pad(v_pad, axis, 3)
+            if cfg.epsilon_method == "constant":
+                eps = jnp.full((3,), 1e-6, v.dtype)
+            else:  # maxOverGrid: cheap per-axis reduce over D1^2 (reference
+                # semantics, upwind_first_weno5a.py:153-155)
+                import math as _math
+
+                floor = _math.sqrt(float(jnp.finfo(v.dtype).tiny))
+                parts = []
+                for axis in range(3):
+                    g1 = ops.pad(v, axis, 1)
+                    m = g1.shape[axis]
+                    d1 = (jnp.take(g1, jnp.arange(1, m), axis)
+                          - jnp.take(g1, jnp.arange(0, m - 1), axis)) \
+                        / grid.dx[axis]
+                    parts.append(1e-6 * ops.reduce_max(d1 * d1) + floor)
+                eps = jnp.stack(parts)
+
+            # System parameters may be tracers (vmapped sweeps, jit args);
+            # pallas kernels cannot capture traced closures, so the system
+            # travels as a flattened SMEM vector and is rebuilt in-kernel.
+            leaves, treedef = jax.tree.flatten(system)
+            leaf_shapes = [jnp.shape(l) for l in leaves]
+            leaf_sizes = [int(jnp.size(l)) for l in leaves]
+            flat_params = (
+                jnp.concatenate(
+                    [jnp.ravel(jnp.asarray(l, v.dtype)) for l in leaves])
+                if leaves else None)
+
+            def ham_fn(tt, starts, p, params_ref):
+                rebuilt, off = [], 0
+                for shp, sz in zip(leaf_shapes, leaf_sizes):
+                    if shp == ():
+                        vals = params_ref[off]  # plain SMEM scalar read
+                    else:  # static offsets: off/sz are python ints
+                        vals = jnp.stack(
+                            [params_ref[off + k] for k in range(sz)]
+                        ).reshape(shp)
+                    rebuilt.append(vals)
+                    off += sz
+                sys_k = jax.tree.unflatten(treedef, rebuilt)
+                # coordinates from block start + iota; grid.lo/dx stay
+                # python literals
+                shape = p[0].shape
+                coords = []
+                for ax in range(3):
+                    idx = jax.lax.broadcasted_iota(jnp.int32, shape, ax) \
+                        + starts[ax]
+                    coords.append(grid.lo[ax]
+                                  + idx.astype(v.dtype) * grid.dx[ax])
+                return sys_k.hamiltonian(tt, tuple(coords), p)
+
+            v_dot = fused_hj_rhs_3d(grid, ham_fn, v_pad,
+                                    alpha_bounds.alphas, eps, t,
+                                    params=flat_params)
+            if cfg.restrict_update == "min":
+                v_dot = jnp.minimum(v_dot, 0.0)
+            elif cfg.restrict_update == "max":
+                v_dot = jnp.maximum(v_dot, 0.0)
+            return v_dot, alpha_bounds.step_bound
+
     kernel, width = padded_fn(cfg.accuracy)
     kwargs = (
         {"epsilon_method": cfg.epsilon_method,

@@ -1,0 +1,92 @@
+"""Fused Pallas kernel correctness (interpreter mode on CPU).
+
+The kernel's math must match the XLA reference path bit-for-bit up to f32
+re-association.  On real TPUs the same comparison runs in
+scripts/tpu_checks.py; here the pallas_call executes through the
+interpreter so the suite needs no TPU."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from levelsetpy_tpu import DubinsRel, SchemeConfig, create_grid, cylinder
+from levelsetpy_tpu.terms import hj_rhs, local_ops, precompute_alpha
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+
+def setup(shape):
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], shape,
+                       periodic_dims=[2])
+    v = cylinder(grid, ignore_axes=[2], radius=5.0)  # f32 like TPU runs
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    xs = grid.mesh_broadcastable(jnp.float32)
+    ops = local_ops(grid)
+    ab = precompute_alpha(grid, system, xs)
+    return grid, v, system, xs, ops, ab
+
+
+@pytest.mark.parametrize("shape", [(24, 20, 16), (17, 13, 11)])
+def test_fused_kernel_matches_xla(interpret_pallas, shape):
+    grid, v, system, xs, ops, ab = setup(shape)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    d1, sb1 = hj_rhs(grid, cfg_x, system, 0.0, v, xs, ab, ops)
+    d2, sb2 = hj_rhs(grid, cfg_p, system, 0.0, v, xs, ab, ops)
+    scale = float(jnp.max(jnp.abs(d1)))
+    np.testing.assert_allclose(d2, d1, atol=2e-5 * scale)
+    np.testing.assert_allclose(sb1, sb2, rtol=1e-6)
+
+
+def test_fused_kernel_constant_epsilon(interpret_pallas):
+    grid, v, system, xs, ops, ab = setup((16, 16, 16))
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="constant")
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="constant", use_pallas=True)
+    d1, _ = hj_rhs(grid, cfg_x, system, 0.0, v, xs, ops=ops,
+                   alpha_bounds=ab)
+    d2, _ = hj_rhs(grid, cfg_p, system, 0.0, v, xs, ops=ops,
+                   alpha_bounds=ab)
+    scale = float(jnp.max(jnp.abs(d1)))
+    np.testing.assert_allclose(d2, d1, atol=2e-5 * scale)
+
+
+def test_fused_kernel_traced_system_params(interpret_pallas):
+    """System params arriving as tracers (vmap over speeds) must flow
+    through the SMEM param vector."""
+    grid, v, _, xs, ops, _ = setup((16, 16, 16))
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+
+    def rhs_for(ve, cfg):
+        system = DubinsRel(v_e=ve, v_p=5.0, w_bound=1.0)
+        ab = precompute_alpha(grid, system, xs)
+        return hj_rhs(grid, cfg, system, 0.0, v, xs, ab, ops)[0]
+
+    ves = jnp.array([4.0, 6.0], jnp.float32)
+    out_p = jax.vmap(lambda s: rhs_for(s, cfg_p))(ves)
+    out_x = jax.vmap(lambda s: rhs_for(s, cfg_x))(ves)
+    scale = float(jnp.max(jnp.abs(out_x)))
+    np.testing.assert_allclose(out_p, out_x, atol=2e-5 * scale)
+
+
+def test_fallback_when_too_large(interpret_pallas):
+    """Grids whose transverse planes exceed the VMEM budget silently use
+    the XLA path (identical results by construction)."""
+    from levelsetpy_tpu.kernels.weno3d import fits_vmem
+
+    big = create_grid([0, 0, 0], [1, 1, 1], [8, 256, 512])
+    assert not fits_vmem(big)
