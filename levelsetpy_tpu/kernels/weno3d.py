@@ -148,58 +148,77 @@ def fused_hj_rhs_3d(
             a, ((0, 0), (0, ny - y), (3, 3 + zp - zp0))))
 
     def kernel(eps_ref, t_ref, params_ref, vpad_hbm, a0_hbm, a1_hbm, a2_hbm,
-               out_hbm, slab, a0s, a1s, a2s, stage, sems):
-        i = pl.program_id(0)
-        sx = jnp.minimum(i * block_x, x - block_x)  # clamped tail start
-
-        vdma = pltpu.make_async_copy(
-            vpad_hbm.at[pl.ds(sx, block_x + 6)], slab, sems.at[0])
-        a0dma = pltpu.make_async_copy(
-            a0_hbm.at[pl.ds(sx, block_x)], a0s, sems.at[1])
-        a1dma = pltpu.make_async_copy(
-            a1_hbm.at[pl.ds(sx, block_x)], a1s, sems.at[2])
-        a2dma = pltpu.make_async_copy(
-            a2_hbm.at[pl.ds(sx, block_x)], a2s, sems.at[3])
-        vdma.start()
-        a0dma.start()
-        a1dma.start()
-        a2dma.start()
-        vdma.wait()
-
-        g = slab[:]                       # (BX+6, yp, zp)
+               out_hbm, slabs, a0s, a1s, a2s, stages, sems_in, sems_out):
         tt = t_ref[0]
 
-        # ---- axis 0: slice dims 0/1 only
-        g0 = g[:, 3:3 + ny, :]
-        d1 = (g0[1:] - g0[:-1]) * inv_dx[0]          # (BX+5, ny, zp)
-        dl0, dr0 = _weno_axis01(d1, 0, block_x, eps_ref[0])
-        # ---- axis 1
-        g1 = g[3:3 + block_x, :, :]
-        d1 = (g1[:, 1:] - g1[:, :-1]) * inv_dx[1]
-        dl1, dr1 = _weno_axis01(d1, 1, ny, eps_ref[1])
-        # ---- axis 2 (lane axis): rolls, full width
-        g2 = g[3:3 + block_x, 3:3 + ny, :]
-        dl2, dr2 = _weno_lane_axis(g2, inv_dx[2], eps_ref[2])
+        def start_x(bi):
+            return jnp.minimum(bi * block_x, x - block_x)  # clamped tail
 
-        p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
-        ham = ham_fn(tt, (sx, 0, -3), p, params_ref)
+        def in_dmas(slot, bi):
+            sx = start_x(bi)
+            return (
+                pltpu.make_async_copy(
+                    vpad_hbm.at[pl.ds(sx, block_x + 6)], slabs.at[slot],
+                    sems_in.at[slot, 0]),
+                pltpu.make_async_copy(
+                    a0_hbm.at[pl.ds(sx, block_x)], a0s.at[slot],
+                    sems_in.at[slot, 1]),
+                pltpu.make_async_copy(
+                    a1_hbm.at[pl.ds(sx, block_x)], a1s.at[slot],
+                    sems_in.at[slot, 2]),
+                pltpu.make_async_copy(
+                    a2_hbm.at[pl.ds(sx, block_x)], a2s.at[slot],
+                    sems_in.at[slot, 3]),
+            )
 
-        a0dma.wait()
-        a1dma.wait()
-        a2dma.wait()
-        diss = (0.5 * (dr0 - dl0) * a0s[:]
-                + 0.5 * (dr1 - dl1) * a1s[:]
-                + 0.5 * (dr2 - dl2) * a2s[:])
-        stage[:] = -(ham - diss)
+        def out_dma(slot, bi):
+            return pltpu.make_async_copy(
+                stages.at[slot], out_hbm.at[pl.ds(start_x(bi), block_x)],
+                sems_out.at[slot])
 
-        out_dma = pltpu.make_async_copy(
-            stage, out_hbm.at[pl.ds(sx, block_x)], sems.at[4])
-        out_dma.start()
-        out_dma.wait()
+        # Statically unrolled double-buffered pipeline: block i+1's input
+        # DMAs fly while block i computes; block i's output DMA flies while
+        # block i+1 computes.
+        for d in in_dmas(0, 0):
+            d.start()
+        for bi in range(n_blocks):
+            slot = bi % 2
+            if bi + 1 < n_blocks:
+                for d in in_dmas(1 - slot, bi + 1):
+                    d.start()
+            for d in in_dmas(slot, bi):
+                d.wait()
+
+            g = slabs[slot]                       # (BX+6, yp, zp)
+            # ---- axis 0: slice dims 0/1 only
+            g0 = g[:, 3:3 + ny, :]
+            d1 = (g0[1:] - g0[:-1]) * inv_dx[0]   # (BX+5, ny, zp)
+            dl0, dr0 = _weno_axis01(d1, 0, block_x, eps_ref[0])
+            # ---- axis 1
+            g1 = g[3:3 + block_x, :, :]
+            d1 = (g1[:, 1:] - g1[:, :-1]) * inv_dx[1]
+            dl1, dr1 = _weno_axis01(d1, 1, ny, eps_ref[1])
+            # ---- axis 2 (lane axis): rolls, full width
+            g2 = g[3:3 + block_x, 3:3 + ny, :]
+            dl2, dr2 = _weno_lane_axis(g2, inv_dx[2], eps_ref[2])
+
+            p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
+            ham = ham_fn(tt, (start_x(bi), 0, -3), p, params_ref)
+            diss = (0.5 * (dr0 - dl0) * a0s[slot]
+                    + 0.5 * (dr1 - dl1) * a1s[slot]
+                    + 0.5 * (dr2 - dl2) * a2s[slot])
+            if bi >= 2:
+                # stage buffer reused two blocks later: its DMA must be done
+                out_dma(slot, bi - 2).wait()
+            stages[slot] = -(ham - diss)
+            out_dma(slot, bi).start()
+        for bi in (n_blocks - 2, n_blocks - 1):
+            if bi >= 0:
+                out_dma(bi % 2, bi).wait()
 
     out = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # eps
             pl.BlockSpec(memory_space=pltpu.SMEM),   # t
@@ -215,12 +234,13 @@ def fused_hj_rhs_3d(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((x, ny, zp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_x + 6, yp, zp), dtype),
-            pltpu.VMEM((block_x, ny, zp), dtype),
-            pltpu.VMEM((block_x, ny, zp), dtype),
-            pltpu.VMEM((block_x, ny, zp), dtype),
-            pltpu.VMEM((block_x, ny, zp), dtype),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((2, block_x + 6, yp, zp), dtype),   # slabs
+            pltpu.VMEM((2, block_x, ny, zp), dtype),       # alpha0
+            pltpu.VMEM((2, block_x, ny, zp), dtype),       # alpha1
+            pltpu.VMEM((2, block_x, ny, zp), dtype),       # alpha2
+            pltpu.VMEM((2, block_x, ny, zp), dtype),       # stages
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
