@@ -35,7 +35,8 @@ from .integration import cfl_step, integrate
 from .solver import SolveResult, solve
 from .values import (compute_gradients, eval_u, optimal_trajectory, proj)
 from .systems.base import System, register_system
-from .systems.double_integrator import DoubleIntegrator
+from .systems.double_integrator import (DoubleIntegrator,
+                                        PlanarDoubleIntegrator)
 from .systems.dubins import DubinsAbs, DubinsRel
 from .systems.flock import Flock
 from .extra_terms import (make_convection_term, make_curvature_term,

@@ -69,6 +69,7 @@ __all__ = [
     "curvature",
     "DERIV_ORDER",
     "GHOST_WIDTH",
+    "check_equivalent_approx",
 ]
 
 EpsilonMethod = Literal["constant", "maxOverGrid", "maxOverNeighbors"]
@@ -295,6 +296,37 @@ _PADDED = {
 
 #: formal order of accuracy per scheme name (for convergence tests).
 DERIV_ORDER = {"first": 1, "eno2": 2, "eno3": 3, "weno5": 5}
+
+# The reference ships two formulations per high-order scheme: the divided
+# -difference table variant ('a': upwind_first_eno3a/weno5a) and the direct
+# O&F 3.4 formulas ('b': upwind_first_eno3b/weno5b).  These are algebraically
+# identical (proven in the module docstring); our direct-form implementation
+# IS the 'b' formulation computed with the 'a' data flow, so both names
+# resolve to the same kernels.
+_SCHEMES["eno3a"] = _SCHEMES["eno3b"] = _SCHEMES["eno3"]
+_SCHEMES["weno5a"] = _SCHEMES["weno5b"] = _SCHEMES["weno5"]
+_PADDED["eno3a"] = _PADDED["eno3b"] = _PADDED["eno3"]
+_PADDED["weno5a"] = _PADDED["weno5b"] = _PADDED["weno5"]
+
+
+def check_equivalent_approx(approx1, approx2, bound, name="approximations"):
+    """Debug assertion that two derivative approximations agree within a
+    relative/absolute bound (ref ``SpatialDerivative/check_eq_approx.py:9``,
+    used by the reference's generateAll self-checks).  Host-side helper —
+    do not call under jit."""
+    import numpy as np
+
+    a1 = np.asarray(approx1)
+    a2 = np.asarray(approx2)
+    mag = np.maximum(np.abs(a1), np.abs(a2))
+    err = np.abs(a1 - a2)
+    rel = err / np.maximum(mag, 1e-30)
+    bad = (err > bound) & (rel > bound)
+    if bad.any():
+        raise AssertionError(
+            f"{name} disagree beyond {bound:g}: max abs err "
+            f"{err[bad].max():.3e}, max rel err {rel[bad].max():.3e} at "
+            f"{bad.sum()} nodes")
 
 #: ghost width per scheme name.
 GHOST_WIDTH = {k: w for k, (_, w) in _SCHEMES.items()}

@@ -94,6 +94,7 @@ def _solve_core(
     save_all: bool,
     use_precomputed: bool,
     record_ttr: bool = False,
+    progress: bool = False,
 ):
     """The solver loop, written once for every execution mode.
 
@@ -198,6 +199,16 @@ def _solve_core(
             init_val = eval_u(grid, v_new, stop_state)
             new_done = new_done | (init_val <= 0)
 
+        if progress:
+            # low-frequency structured metrics (once per tau checkpoint,
+            # not per RK step — the reference printed per step,
+            # hji_solver.py:511,541,667)
+            jax.debug.callback(
+                lambda tt, ch, ns: print(
+                    f"[levelsetpy] t={float(tt):.4f} steps+={int(ns)} "
+                    f"max|dV|={float(ch):.3e}"),
+                t1, change, n_steps, ordered=True)
+
         out = v_new if save_all else None
         return (v_new, new_done, steps + n_steps, ttr_new), \
             (out, change, done)
@@ -220,7 +231,8 @@ def _solve_core(
 @functools.lru_cache(maxsize=64)
 def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
                 discount_mode, has_discount, converge_threshold,
-                ignore_boundary, save_all, use_precomputed, record_ttr):
+                ignore_boundary, save_all, use_precomputed, record_ttr,
+                progress=False):
     """Jitted solver entry, memoized on every static knob so repeated
     ``solve`` calls (replanning loops, parameter sweeps) reuse the trace and
     executable.  Everything concrete is a jit ARGUMENT, not a closure:
@@ -251,7 +263,7 @@ def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
             has_discount=has_discount,
             stop_state=stop_state, converge_threshold=converge_threshold,
             trim=trim, save_all=save_all, use_precomputed=use_precomputed,
-            record_ttr=record_ttr,
+            record_ttr=record_ttr, progress=progress,
         )
 
     return run
@@ -273,6 +285,7 @@ def solve(
     ignore_boundary: bool = False,
     save_all: bool = True,
     record_ttr: bool = False,
+    progress: bool = False,
 ) -> SolveResult:
     """Solve the HJI PDE over checkpoint times ``tau`` on a single device.
 
@@ -324,7 +337,7 @@ def solve(
     run = _cached_run(
         grid, cfg, comp_method, obstacles_tv, targets_tv, discount_mode,
         discount_factor is not None, converge_threshold, ignore_boundary,
-        save_all, use_precomputed, record_ttr,
+        save_all, use_precomputed, record_ttr, progress,
     )
     values, changes, stop_index, steps, ttr = run(
         system, v0, tau, xs, obstacles, targets, gamma, stop_state)

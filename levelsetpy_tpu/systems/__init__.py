@@ -1,5 +1,5 @@
 from .base import System, register_system, static_field
-from .double_integrator import DoubleIntegrator
+from .double_integrator import DoubleIntegrator, PlanarDoubleIntegrator
 from .dubins import DubinsAbs, DubinsRel
 from .flock import Flock
 
@@ -8,6 +8,7 @@ __all__ = [
     "register_system",
     "static_field",
     "DoubleIntegrator",
+    "PlanarDoubleIntegrator",
     "DubinsAbs",
     "DubinsRel",
     "Flock",
