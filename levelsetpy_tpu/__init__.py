@@ -39,6 +39,7 @@ from .systems.double_integrator import (DoubleIntegrator,
                                         PlanarDoubleIntegrator)
 from .systems.dubins import DubinsAbs, DubinsRel
 from .systems.flock import Flock
+from .systems.rocket import RocketSystem
 from .extra_terms import (make_convection_term, make_curvature_term,
                           make_discount_term, make_forcing_term,
                           make_normal_term, make_reinit_term,

@@ -2,6 +2,7 @@ from .base import System, register_system, static_field
 from .double_integrator import DoubleIntegrator, PlanarDoubleIntegrator
 from .dubins import DubinsAbs, DubinsRel
 from .flock import Flock
+from .rocket import RocketSystem
 
 __all__ = [
     "System",
@@ -12,4 +13,5 @@ __all__ = [
     "DubinsAbs",
     "DubinsRel",
     "Flock",
+    "RocketSystem",
 ]
