@@ -1,0 +1,87 @@
+"""TPU acceptance checks: accuracy gate + kernel equivalence on hardware.
+
+Run on the attached TPU (no env prefix): validates the BASELINE gates that
+CPU tests cannot:
+  1. f32-on-TPU value function vs the independent f64 numpy oracle
+     (max|V - V_ref| < 1e-3 gate from BASELINE.json).
+  2. fused Pallas kernel vs the XLA path on real hardware.
+Prints one line per check; exits nonzero on failure.
+"""
+import pathlib
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "benchmarks"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from levelsetpy_tpu import (DubinsRel, SchemeConfig, create_grid, cylinder,
+                            solve)
+from levelsetpy_tpu.terms import hj_rhs, local_ops, precompute_alpha
+from numpy_ref import Air3DNumpy
+
+FAILED = False
+
+
+def check(name, ok, detail):
+    global FAILED
+    print(f"[{'PASS' if ok else 'FAIL'}] {name}: {detail}", flush=True)
+    if not ok:
+        FAILED = True
+
+
+def accuracy_gate(shape=(51, 51, 51), t_end=0.5):
+    lo, hi = [-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi]
+    ref = Air3DNumpy(lo, hi, shape, ve=5.0, vp=5.0, w=1.0,
+                     dtype=np.float64)
+    v0 = ref.target_cylinder(5.0)
+    t0 = time.perf_counter()
+    v_ref, _, n_ref = ref.solve(v0.copy(), t_end)
+    cpu_s = time.perf_counter() - t0
+
+    grid = create_grid(lo, hi, shape, periodic_dims=[2])
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    res = solve(grid, system, jnp.asarray(v0, jnp.float32),
+                jnp.array([0.0, t_end], jnp.float32),
+                cfg=SchemeConfig(accuracy="veryHigh", rk_order=2),
+                save_all=False)
+    v_tpu = np.asarray(res.values[-1], np.float64)
+    err = np.abs(v_tpu - v_ref).max()
+    scale = np.abs(v_ref).max()
+    check("accuracy f32-TPU vs f64-oracle",
+          err < 1e-3 * max(1.0, scale) and int(res.steps) == n_ref,
+          f"max|V-V_ref|={err:.2e} (scale {scale:.1f}, rel "
+          f"{err / scale:.2e}), steps {int(res.steps)}=={n_ref}, "
+          f"cpu oracle {cpu_s:.1f}s")
+
+
+def pallas_equivalence(n=71):
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], n,
+                       periodic_dims=[2])
+    v = cylinder(grid, ignore_axes=[2], radius=5.0)
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    xs = grid.mesh_broadcastable(jnp.float32)
+    ops = local_ops(grid)
+    ab = precompute_alpha(grid, system, xs)
+    outs = {}
+    for name, flag in (("xla", False), ("pallas", True)):
+        cfg = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                           use_pallas=flag)
+        d, _ = jax.jit(lambda vv, cfg=cfg: hj_rhs(
+            grid, cfg, system, 0.0, vv, xs, ab, ops))(v)
+        outs[name] = np.asarray(d)
+    err = np.abs(outs["xla"] - outs["pallas"]).max()
+    scale = np.abs(outs["xla"]).max()
+    check("pallas kernel vs xla on TPU", err < 1e-4 * scale,
+          f"max|diff|={err:.2e} (rel {err / scale:.2e})")
+
+
+if __name__ == "__main__":
+    print("device:", jax.devices()[0], flush=True)
+    accuracy_gate()
+    pallas_equivalence()
+    sys.exit(1 if FAILED else 0)
