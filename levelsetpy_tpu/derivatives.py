@@ -199,10 +199,75 @@ def upwind_eno3(grid: Grid, data: jnp.ndarray, axis: int):
 
 
 def _weno_combine(phis, ss, weights, eps):
-    a1 = weights[0] / (ss[0] + eps) ** 2
-    a2 = weights[1] / (ss[1] + eps) ** 2
-    a3 = weights[2] / (ss[2] + eps) ** 2
+    """Convex WENO combination, normalized multiply-through form.
+
+    Algebraically identical to the textbook
+    ``a_i = w_i/(s_i+eps)^2; sum(a p)/sum(a)`` but with 2 divides instead
+    of 4 (divides are the dominant VPU cost of the whole solve).  The
+    ``b_i`` are pre-normalized by their sum so the pairwise products can
+    neither overflow nor underflow for any input magnitude (the raw
+    multiply-through form underflows to 0/0 = NaN in f32 whenever an axis
+    is degenerate and ``s_i + eps`` sits at the smallest-normal floor).
+    """
+    b1 = ss[0] + eps
+    b2 = ss[1] + eps
+    b3 = ss[2] + eps
+    r = 1.0 / (b1 + b2 + b3)
+    c1 = (b1 * r) ** 2
+    c2 = (b2 * r) ** 2
+    c3 = (b3 * r) ** 2
+    a1 = weights[0] * (c2 * c3)
+    a2 = weights[1] * (c1 * c3)
+    a3 = weights[2] * (c1 * c2)
     return (a1 * phis[0] + a2 * phis[1] + a3 * phis[2]) / (a1 + a2 + a3)
+
+
+def _weno_tables(d1, axis: int, n: int):
+    """Shared candidate/smoothness tables for BOTH one-sided derivatives.
+
+    The right-derivative stencil windows are the left windows reversed and
+    shifted by one (``_vs_right``), and reversal maps the O&F smoothness
+    indicators onto each other (``s1(rev w) = s3(w)``, ``s2(rev w) =
+    s2(w)``) and two candidate polynomials onto existing ones
+    (``p2^R(j) = p3^L(j)``, ``p3^R(j) = p2^L(j)``).  Computing the tables
+    once over all ``n+1`` base windows therefore halves the smoothness
+    work and reuses 2 of 6 candidates — a sharing XLA's CSE cannot find by
+    itself because the slices are shifted.
+
+    Returns ``(phis_l, phis_r, ss_l, ss_r)`` with entries of length ``n``:
+      phis_l = (p1^L, p2^L, p3^L)       phis_r = (p1^R, p3^L, p2^L)
+      ss_l   = (S1, S2, S3)(j)          ss_r   = (S3, S2, S1)(j+1)
+    """
+    # d1 has length n+5; the n+1 base windows need d1[m..m+4] (m = 0..n),
+    # the candidates only the n left-node windows (offsets 0..5, length n).
+    w = [_win(d1, axis, k, n + 1) for k in range(5)]   # smoothness tables
+    u = [_win(d1, axis, k, n) for k in range(6)]       # candidate slices
+
+    def head(a):  # window j = 0..n-1  (left-derivative node index)
+        return _win(a, axis, 0, n)
+
+    def tail(a):  # window j+1         (right-derivative node index)
+        return _win(a, axis, 1, n)
+
+    # 4 distinct candidate polynomials (of the 6 naive ones)
+    p1l = u[0] * (1 / 3) - u[1] * (7 / 6) + u[2] * (11 / 6)
+    p2l = -u[1] * (1 / 6) + u[2] * (5 / 6) + u[3] * (1 / 3)
+    p3l = u[2] * (1 / 3) + u[3] * (5 / 6) - u[4] * (1 / 6)
+    p1r = u[3] * (11 / 6) - u[4] * (7 / 6) + u[5] * (1 / 3)
+
+    # smoothness indicators over all n+1 base windows, O&F (3.32)-(3.34)
+    s1 = (13 / 12) * (w[0] - 2 * w[1] + w[2]) ** 2 \
+        + 0.25 * (w[0] - 4 * w[1] + 3 * w[2]) ** 2
+    s2 = (13 / 12) * (w[1] - 2 * w[2] + w[3]) ** 2 \
+        + 0.25 * (w[1] - w[3]) ** 2
+    s3 = (13 / 12) * (w[2] - 2 * w[3] + w[4]) ** 2 \
+        + 0.25 * (3 * w[2] - 4 * w[3] + w[4]) ** 2
+
+    phis_l = (p1l, p2l, p3l)
+    phis_r = (p1r, p3l, p2l)
+    ss_l = (head(s1), head(s2), head(s3))
+    ss_r = (tail(s3), tail(s2), tail(s1))
+    return phis_l, phis_r, ss_l, ss_r
 
 
 def weno5_from_padded(
@@ -227,8 +292,6 @@ def weno5_from_padded(
         O&F (3.38).
     """
     d1 = _d1(dx, gdata, axis)
-    vl = _vs_left(d1, axis, n)
-    vr = _vs_right(d1, axis, n)
 
     # Degenerate-data guard.  The reference adds 1e-99 (``upwind_first_weno5a
     # .py:155``) which only exists in float64; in f32 it underflows to 0, so
@@ -245,16 +308,21 @@ def weno5_from_padded(
         d1s = _win(d1, axis, 2, n + 1)
         eps_l = eps_r = 1e-6 * global_max(d1s * d1s) + eps_floor
     elif epsilon_method == "maxOverNeighbors":
-        sq_l = [v * v for v in vl]
-        sq_r = [v * v for v in vr]
-        eps_l = 1e-6 * functools.reduce(jnp.maximum, sq_l) + eps_floor
-        eps_r = 1e-6 * functools.reduce(jnp.maximum, sq_r) + eps_floor
+        # Per-window max of D1^2: the left node-j window and the right
+        # node-j window (reversed window j+1) cover the same entries, so
+        # one table serves both sides.
+        sq = [v * v for k in range(5)
+              for v in (_win(d1, axis, k, n + 1),)]
+        eps_tab = 1e-6 * functools.reduce(jnp.maximum, sq) + eps_floor
+        eps_l = _win(eps_tab, axis, 0, n)
+        eps_r = _win(eps_tab, axis, 1, n)
     else:
         raise ValueError(f"unknown epsilon method: {epsilon_method}")
 
     weights = (0.1, 0.6, 0.3)
-    deriv_l = _weno_combine(_candidates(*vl), _smoothness(*vl), weights, eps_l)
-    deriv_r = _weno_combine(_candidates(*vr), _smoothness(*vr), weights, eps_r)
+    phis_l, phis_r, ss_l, ss_r = _weno_tables(d1, axis, n)
+    deriv_l = _weno_combine(phis_l, ss_l, weights, eps_l)
+    deriv_r = _weno_combine(phis_r, ss_r, weights, eps_r)
     return deriv_l, deriv_r
 
 

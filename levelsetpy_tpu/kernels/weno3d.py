@@ -40,56 +40,99 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..grid import Grid
 
-__all__ = ["fused_hj_rhs_3d", "fits_vmem"]
+__all__ = ["fused_hj_rhs_3d", "fits_vmem", "aligned_dims", "widen_alphas"]
 
 
 def _win(a, axis, off, n):
     return jax.lax.slice_in_dim(a, off, off + n, axis=axis)
 
 
-def _weno_side(v1, v2, v3, v4, v5, w1, w2, w3, eps):
-    """WENO5 convex combination — O&F (3.25)-(3.41), identical math to
-    derivatives._candidates/_smoothness/_weno_combine."""
-    p1 = v1 * (1 / 3) - v2 * (7 / 6) + v3 * (11 / 6)
-    p2 = -v2 * (1 / 6) + v3 * (5 / 6) + v4 * (1 / 3)
-    p3 = v3 * (1 / 3) + v4 * (5 / 6) - v5 * (1 / 6)
-    s1 = (13 / 12) * (v1 - 2 * v2 + v3) ** 2 \
-        + 0.25 * (v1 - 4 * v2 + 3 * v3) ** 2
-    s2 = (13 / 12) * (v2 - 2 * v3 + v4) ** 2 + 0.25 * (v2 - v4) ** 2
-    s3 = (13 / 12) * (v3 - 2 * v4 + v5) ** 2 \
-        + 0.25 * (3 * v3 - 4 * v4 + v5) ** 2
-    a1 = w1 / (s1 + eps) ** 2
-    a2 = w2 / (s2 + eps) ** 2
-    a3 = w3 / (s3 + eps) ** 2
-    return (a1 * p1 + a2 * p2 + a3 * p3) / (a1 + a2 + a3)
+def _weno_combine(phis, ss, eps):
+    """Normalized multiply-through WENO combination with weights
+    (0.1, 0.6, 0.3) — identical math to ``derivatives._weno_combine``
+    (2 divides instead of the textbook 4; see that docstring for the
+    overflow/underflow argument)."""
+    b1 = ss[0] + eps
+    b2 = ss[1] + eps
+    b3 = ss[2] + eps
+    r = 1.0 / (b1 + b2 + b3)
+    c1 = (b1 * r) ** 2
+    c2 = (b2 * r) ** 2
+    c3 = (b3 * r) ** 2
+    a1 = 0.1 * (c2 * c3)
+    a2 = 0.6 * (c1 * c3)
+    a3 = 0.3 * (c1 * c2)
+    return (a1 * phis[0] + a2 * phis[1] + a3 * phis[2]) / (a1 + a2 + a3)
+
+
+def _smoothness(w0, w1, w2, w3, w4):
+    """O&F (3.32)-(3.34) indicators of one base window (entries D1[b..b+4])."""
+    s1 = (13 / 12) * (w0 - 2 * w1 + w2) ** 2 \
+        + 0.25 * (w0 - 4 * w1 + 3 * w2) ** 2
+    s2 = (13 / 12) * (w1 - 2 * w2 + w3) ** 2 + 0.25 * (w1 - w3) ** 2
+    s3 = (13 / 12) * (w2 - 2 * w3 + w4) ** 2 \
+        + 0.25 * (3 * w2 - 4 * w3 + w4) ** 2
+    return s1, s2, s3
 
 
 def _weno_axis01(d1, axis, n, eps):
-    """derivL/derivR from a D1 table along axis 0 or 1 (sliceable dims)."""
-    vl = tuple(_win(d1, axis, k, n) for k in range(5))
-    vr = tuple(_win(d1, axis, 5 - k, n) for k in range(5))
-    return (_weno_side(*vl, 0.1, 0.6, 0.3, eps),
-            _weno_side(*vr, 0.1, 0.6, 0.3, eps))
+    """derivL/derivR from a D1 table along axis 0 or 1 (sliceable dims).
+
+    Shared-table formulation (same as ``derivatives._weno_tables``): the
+    right-derivative windows are the left windows reversed and shifted by
+    one, so one smoothness table over the ``n+1`` base windows serves both
+    sides (``s^R_m(j) = s^L_{4-m}(j+1)``) and candidates ``p2^R = p3^L``,
+    ``p3^R = p2^L`` are reused.
+    """
+    w = tuple(_win(d1, axis, k, n + 1) for k in range(5))
+    u = tuple(_win(d1, axis, k, n) for k in range(6))
+    p1l = u[0] * (1 / 3) - u[1] * (7 / 6) + u[2] * (11 / 6)
+    p2l = -u[1] * (1 / 6) + u[2] * (5 / 6) + u[3] * (1 / 3)
+    p3l = u[2] * (1 / 3) + u[3] * (5 / 6) - u[4] * (1 / 6)
+    p1r = u[3] * (11 / 6) - u[4] * (7 / 6) + u[5] * (1 / 3)
+    s1, s2, s3 = _smoothness(*w)
+
+    def head(a):
+        return _win(a, axis, 0, n)
+
+    def tail(a):
+        return _win(a, axis, 1, n)
+
+    dl = _weno_combine((p1l, p2l, p3l),
+                       (head(s1), head(s2), head(s3)), eps)
+    dr = _weno_combine((p1r, p3l, p2l),
+                       (tail(s3), tail(s2), tail(s1)), eps)
+    return dl, dr
 
 
 def _weno_lane_axis(g2, inv_dx, eps):
     """derivL/derivR along the LANE axis via rolls, full width.
 
-    ``g2``: (BX, y, zp) padded values.  D1[j] = (g[j+1] - g[j]) / dx lives at
-    lane j; for the node at padded lane m, the left-deriv one-sided diffs are
-    ``v_k = D1[m - 4 + k]`` (roll by 4-k) and the right-deriv mirrored set is
-    ``v_k = D1[m + 2 - k]`` (roll by k-2).  Lanes outside [3, zp-3) hold
-    wrap-around garbage the caller slices off.
+    ``g2``: (BX, y, zp) padded values.  ``D1[m] = (g[m+1] - g[m]) / dx``
+    lives at lane m; the node at padded lane m has left window
+    ``D1[m-3 .. m+1]`` and right window ``D1[m-2 .. m+2]`` (reversed).  The
+    base-window tables are stored at the lane of their left node
+    (``w_k[m] = D1[m-3+k]``, roll by 3-k) so the right derivative reads
+    them one lane ahead (roll by -1) — the same sharing as
+    ``_weno_axis01``.  Lanes outside [3, zp-3) hold wrap-around garbage
+    the caller slices off.
     """
     def _roll(a, s):
         # pltpu.roll demands non-negative shifts; rotate modulo lane width
         return pltpu.roll(a, s % a.shape[2], 2)
 
     d1 = (_roll(g2, -1) - g2) * inv_dx
-    vl = tuple(_roll(d1, 4 - k) for k in range(1, 6))
-    vr = tuple(_roll(d1, k - 2) for k in range(1, 6))
-    return (_weno_side(*vl, 0.1, 0.6, 0.3, eps),
-            _weno_side(*vr, 0.1, 0.6, 0.3, eps))
+    w = tuple(_roll(d1, 3 - k) for k in range(5))   # w[k][m] = D1[m-3+k]
+    u5 = _roll(d1, -2)                              # D1[m+2]
+    p1l = w[0] * (1 / 3) - w[1] * (7 / 6) + w[2] * (11 / 6)
+    p2l = -w[1] * (1 / 6) + w[2] * (5 / 6) + w[3] * (1 / 3)
+    p3l = w[2] * (1 / 3) + w[3] * (5 / 6) - w[4] * (1 / 6)
+    p1r = w[3] * (11 / 6) - w[4] * (7 / 6) + u5 * (1 / 3)
+    s1, s2, s3 = _smoothness(*w)
+    dl = _weno_combine((p1l, p2l, p3l), (s1, s2, s3), eps)
+    dr = _weno_combine((p1r, p3l, p2l),
+                       (_roll(s3, -1), _roll(s2, -1), _roll(s1, -1)), eps)
+    return dl, dr
 
 
 def fits_vmem(grid: Grid, block_x: int = 8, dtype_bytes: int = 4,
@@ -102,11 +145,45 @@ def fits_vmem(grid: Grid, block_x: int = 8, dtype_bytes: int = 4,
     return slab * 10 < budget_bytes
 
 
+def aligned_dims(grid: Grid) -> tuple[int, int, int]:
+    """Mosaic-aligned buffer dims for this grid: ``(zp, ny, yp)``.
+
+    DMA-sliced refs need tile-aligned trailing dims, so lanes are widened to
+    a 128 multiple (``zp``) and the interior-y width to an 8 multiple
+    (``ny``); ``yp`` is the padded-y slab width (also 8-aligned, covering
+    the 6 ghost columns)."""
+    _, y, z = grid.shape
+    zp0 = z + 6
+    zp = -(-zp0 // 128) * 128
+    ny = -(-y // 8) * 8
+    yp = max(-(-(y + 6) // 8) * 8, ny + 6)
+    return zp, ny, yp
+
+
+def widen_alphas(grid: Grid, alphas: tuple, dtype) -> tuple:
+    """Pre-widen dissipation bounds to the kernel's aligned layout.
+
+    The fused kernel never slices the lane axis, so alphas must arrive with
+    ``zp`` junk-padded lanes (3 junk + z + rest) and ``ny`` 8-aligned y
+    columns.  For time-invariant alphas (every shipped analytic system)
+    call this ONCE per solve and stash the result on ``AlphaBounds`` —
+    doing it inside the RK step costs 3 full-grid HBM round trips per RHS.
+    """
+    x, y, z = grid.shape
+    zp, ny, _ = aligned_dims(grid)
+    out = []
+    for a in alphas:
+        a = jnp.broadcast_to(a, (x, y, z)).astype(dtype)
+        out.append(jnp.pad(a, ((0, 0), (0, ny - y), (3, 3 + zp - (z + 6)))))
+    return tuple(out)
+
+
 def fused_hj_rhs_3d(
     grid: Grid,
     ham_fn: Callable,
     v_pad: jnp.ndarray,          # (X+6, Y+6, Z+6) ghost-padded value fn
-    alphas: tuple,               # 3 dissipation bounds, broadcastable (X,Y,Z)
+    alphas_w: tuple,             # 3 dissipation bounds, PRE-WIDENED
+                                 # (x, ny, zp) — see widen_alphas
     eps,                         # WENO epsilon, scalar or per-axis (3,)
     t,                           # time (scalar, forwarded to ham_fn)
     params: jnp.ndarray | None = None,   # flat system parameters (SMEM)
@@ -135,17 +212,12 @@ def fused_hj_rhs_3d(
     # Mosaic requires DMA-sliced refs to have tile-aligned trailing dims:
     # widen lanes to a 128 multiple and sublanes to an 8 multiple with junk
     # that the final XLA slice discards.
-    zp = -(-zp0 // 128) * 128
-    ny = -(-y // 8) * 8   # interior-y width incl. junk columns (8-aligned)
-    yp = max(-(-yp0 // 8) * 8, ny + 6)
+    zp, ny, yp = aligned_dims(grid)
     v_pad = jnp.pad(v_pad, ((0, 0), (0, yp - yp0), (0, zp - zp0)))
-
-    # alphas arrive lane-widened so the kernel never slices lanes
-    alphas_w = []
-    for a in alphas:
-        a = jnp.broadcast_to(a, (x, y, z)).astype(dtype)
-        alphas_w.append(jnp.pad(
-            a, ((0, 0), (0, ny - y), (3, 3 + zp - zp0))))
+    if alphas_w[0].shape != (x, ny, zp):
+        raise ValueError(
+            f"alphas must be pre-widened to {(x, ny, zp)} (widen_alphas); "
+            f"got {alphas_w[0].shape}")
 
     def kernel(eps_ref, t_ref, params_ref, vpad_hbm, a0_hbm, a1_hbm, a2_hbm,
                out_hbm, slabs, a0s, a1s, a2s, stages, sems_in, sems_out):

@@ -45,7 +45,7 @@ from .grid import Grid
 from .integration import cfl_step
 from .systems.base import System
 from .terms import (GridOps, SchemeConfig, hj_rhs, local_ops,
-                    precompute_alpha)
+                    pallas_eligible, precompute_alpha)
 from .values import eval_u
 
 __all__ = ["solve", "SolveResult", "SchemeConfig"]
@@ -110,6 +110,13 @@ def _solve_core(
         precompute_alpha(grid, system, xs, tau[0], reduce_max=ops.reduce_max)
         if use_precomputed else None
     )
+    if alpha_bounds is not None and pallas_eligible(grid, cfg):
+        # widen once per solve, not once per RK substep (3 full-grid pads)
+        from .kernels.weno3d import widen_alphas
+
+        alpha_bounds = dataclasses.replace(
+            alpha_bounds,
+            widened=widen_alphas(grid, alpha_bounds.alphas, v0.dtype))
 
     def rhs(t, v):
         return hj_rhs(grid, cfg, system, t, v, xs, alpha_bounds, ops)

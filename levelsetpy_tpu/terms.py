@@ -95,10 +95,27 @@ class SchemeConfig:
 
 @dataclasses.dataclass(frozen=True)
 class AlphaBounds:
-    """Precomputed per-axis dissipation bounds + global CFL step bound."""
+    """Precomputed per-axis dissipation bounds + global CFL step bound.
+
+    ``widened`` optionally carries the bounds in the fused Pallas kernel's
+    aligned layout (``kernels.weno3d.widen_alphas``) so the widening pads
+    run once per solve instead of once per RK substep."""
 
     alphas: tuple
     step_bound: jnp.ndarray
+    widened: tuple | None = None
+
+
+def pallas_eligible(grid: Grid, cfg: "SchemeConfig") -> bool:
+    """True when ``hj_rhs`` will route through the fused Pallas kernel."""
+    if not (cfg.use_pallas and grid.ndim == 3
+            and cfg.accuracy in ("veryHigh", "weno5")
+            and cfg.dissipation == "global"
+            # maxOverNeighbors eps is per-node — not in the kernel (yet)
+            and cfg.epsilon_method in ("constant", "maxOverGrid")):
+        return False
+    from .kernels.weno3d import fits_vmem
+    return fits_vmem(grid)
 
 
 def precompute_alpha(
@@ -166,74 +183,80 @@ def hj_rhs(
     if ops is None:
         ops = local_ops(grid)
 
-    if (cfg.use_pallas and nd == 3 and alpha_bounds is not None
-            and cfg.accuracy in ("veryHigh", "weno5")
-            and cfg.dissipation == "global"):
-        from .kernels.weno3d import fits_vmem, fused_hj_rhs_3d
+    if alpha_bounds is not None and pallas_eligible(grid, cfg):
+        from .kernels.weno3d import fused_hj_rhs_3d, widen_alphas
 
-        if fits_vmem(grid):
-            v_pad = v
+        v_pad = v
+        for axis in range(3):
+            v_pad = ops.pad(v_pad, axis, 3)
+        if cfg.epsilon_method == "constant":
+            eps = jnp.full((3,), 1e-6, v.dtype)
+        else:  # maxOverGrid: cheap per-axis reduce over D1^2 (reference
+            # semantics, upwind_first_weno5a.py:153-155).  Padding is
+            # per-axis independent, so slicing v_pad down to one ghost
+            # layer along `axis` (and none elsewhere) reproduces
+            # pad(v, axis, 1) exactly — no extra pad kernels.
+            import math as _math
+
+            floor = _math.sqrt(float(jnp.finfo(v.dtype).tiny))
+            parts = []
             for axis in range(3):
-                v_pad = ops.pad(v_pad, axis, 3)
-            if cfg.epsilon_method == "constant":
-                eps = jnp.full((3,), 1e-6, v.dtype)
-            else:  # maxOverGrid: cheap per-axis reduce over D1^2 (reference
-                # semantics, upwind_first_weno5a.py:153-155)
-                import math as _math
+                starts = [3, 3, 3]
+                limits = [3 + s for s in grid.shape]
+                starts[axis] -= 1
+                limits[axis] += 1
+                g1 = jax.lax.slice(v_pad, starts, limits)
+                m = g1.shape[axis]
+                d1 = (jax.lax.slice_in_dim(g1, 1, m, axis=axis)
+                      - jax.lax.slice_in_dim(g1, 0, m - 1, axis=axis)) \
+                    / grid.dx[axis]
+                parts.append(1e-6 * ops.reduce_max(d1 * d1) + floor)
+            eps = jnp.stack(parts)
 
-                floor = _math.sqrt(float(jnp.finfo(v.dtype).tiny))
-                parts = []
-                for axis in range(3):
-                    g1 = ops.pad(v, axis, 1)
-                    m = g1.shape[axis]
-                    d1 = (jnp.take(g1, jnp.arange(1, m), axis)
-                          - jnp.take(g1, jnp.arange(0, m - 1), axis)) \
-                        / grid.dx[axis]
-                    parts.append(1e-6 * ops.reduce_max(d1 * d1) + floor)
-                eps = jnp.stack(parts)
+        # System parameters may be tracers (vmapped sweeps, jit args);
+        # pallas kernels cannot capture traced closures, so the system
+        # travels as a flattened SMEM vector and is rebuilt in-kernel.
+        leaves, treedef = jax.tree.flatten(system)
+        leaf_shapes = [jnp.shape(l) for l in leaves]
+        leaf_sizes = [int(jnp.size(l)) for l in leaves]
+        flat_params = (
+            jnp.concatenate(
+                [jnp.ravel(jnp.asarray(l, v.dtype)) for l in leaves])
+            if leaves else None)
 
-            # System parameters may be tracers (vmapped sweeps, jit args);
-            # pallas kernels cannot capture traced closures, so the system
-            # travels as a flattened SMEM vector and is rebuilt in-kernel.
-            leaves, treedef = jax.tree.flatten(system)
-            leaf_shapes = [jnp.shape(l) for l in leaves]
-            leaf_sizes = [int(jnp.size(l)) for l in leaves]
-            flat_params = (
-                jnp.concatenate(
-                    [jnp.ravel(jnp.asarray(l, v.dtype)) for l in leaves])
-                if leaves else None)
+        def ham_fn(tt, starts, p, params_ref):
+            rebuilt, off = [], 0
+            for shp, sz in zip(leaf_shapes, leaf_sizes):
+                if shp == ():
+                    vals = params_ref[off]  # plain SMEM scalar read
+                else:  # static offsets: off/sz are python ints
+                    vals = jnp.stack(
+                        [params_ref[off + k] for k in range(sz)]
+                    ).reshape(shp)
+                rebuilt.append(vals)
+                off += sz
+            sys_k = jax.tree.unflatten(treedef, rebuilt)
+            # coordinates from block start + iota; grid.lo/dx stay
+            # python literals
+            shape = p[0].shape
+            coords = []
+            for ax in range(3):
+                idx = jax.lax.broadcasted_iota(jnp.int32, shape, ax) \
+                    + starts[ax]
+                coords.append(grid.lo[ax]
+                              + idx.astype(v.dtype) * grid.dx[ax])
+            return sys_k.hamiltonian(tt, tuple(coords), p)
 
-            def ham_fn(tt, starts, p, params_ref):
-                rebuilt, off = [], 0
-                for shp, sz in zip(leaf_shapes, leaf_sizes):
-                    if shp == ():
-                        vals = params_ref[off]  # plain SMEM scalar read
-                    else:  # static offsets: off/sz are python ints
-                        vals = jnp.stack(
-                            [params_ref[off + k] for k in range(sz)]
-                        ).reshape(shp)
-                    rebuilt.append(vals)
-                    off += sz
-                sys_k = jax.tree.unflatten(treedef, rebuilt)
-                # coordinates from block start + iota; grid.lo/dx stay
-                # python literals
-                shape = p[0].shape
-                coords = []
-                for ax in range(3):
-                    idx = jax.lax.broadcasted_iota(jnp.int32, shape, ax) \
-                        + starts[ax]
-                    coords.append(grid.lo[ax]
-                                  + idx.astype(v.dtype) * grid.dx[ax])
-                return sys_k.hamiltonian(tt, tuple(coords), p)
-
-            v_dot = fused_hj_rhs_3d(grid, ham_fn, v_pad,
-                                    alpha_bounds.alphas, eps, t,
-                                    params=flat_params)
-            if cfg.restrict_update == "min":
-                v_dot = jnp.minimum(v_dot, 0.0)
-            elif cfg.restrict_update == "max":
-                v_dot = jnp.maximum(v_dot, 0.0)
-            return v_dot, alpha_bounds.step_bound
+        alphas_w = (alpha_bounds.widened
+                    if alpha_bounds.widened is not None
+                    else widen_alphas(grid, alpha_bounds.alphas, v.dtype))
+        v_dot = fused_hj_rhs_3d(grid, ham_fn, v_pad, alphas_w, eps, t,
+                                params=flat_params)
+        if cfg.restrict_update == "min":
+            v_dot = jnp.minimum(v_dot, 0.0)
+        elif cfg.restrict_update == "max":
+            v_dot = jnp.maximum(v_dot, 0.0)
+        return v_dot, alpha_bounds.step_bound
 
     kernel, width = padded_fn(cfg.accuracy)
     kwargs = (

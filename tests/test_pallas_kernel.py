@@ -30,9 +30,14 @@ def interpret_pallas(monkeypatch):
 def setup(shape):
     grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], shape,
                        periodic_dims=[2])
-    v = cylinder(grid, ignore_axes=[2], radius=5.0)  # f32 like TPU runs
-    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
     xs = grid.mesh_broadcastable(jnp.float32)
+    # f32 like TPU runs; perturb along ALL axes (in particular theta, the
+    # lane axis) — a pure cylinder is theta-constant and would leave the
+    # kernel's lane-axis stencils untested (this masked a one-lane window
+    # shift in the right derivative once)
+    v = cylinder(grid, ignore_axes=[2], radius=5.0) \
+        + 0.5 * jnp.sin(xs[2]) * jnp.cos(0.3 * xs[0]) * jnp.cos(0.2 * xs[1])
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
     ops = local_ops(grid)
     ab = precompute_alpha(grid, system, xs)
     return grid, v, system, xs, ops, ab
