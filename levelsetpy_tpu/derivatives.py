@@ -198,24 +198,41 @@ def upwind_eno3(grid: Grid, data: jnp.ndarray, axis: int):
     return eno3_from_padded(grid.dx[axis], g, axis, data.shape[axis])
 
 
-def _weno_combine(phis, ss, weights, eps):
-    """Convex WENO combination, normalized multiply-through form.
+def _weno_combine(phis, ss, weights, eps, inv_eps=None):
+    """Convex WENO combination in multiply-through form.
 
     Algebraically identical to the textbook
-    ``a_i = w_i/(s_i+eps)^2; sum(a p)/sum(a)`` but with 2 divides instead
-    of 4 (divides are the dominant VPU cost of the whole solve).  The
-    ``b_i`` are pre-normalized by their sum so the pairwise products can
-    neither overflow nor underflow for any input magnitude (the raw
-    multiply-through form underflows to 0/0 = NaN in f32 whenever an axis
-    is degenerate and ``s_i + eps`` sits at the smallest-normal floor).
+    ``a_i = w_i/(s_i+eps)^2; sum(a p)/sum(a)`` but with fewer divides —
+    divides are the dominant VPU cost of the whole solve:
+
+      * ``inv_eps`` given (a scalar; the maxOverGrid path): scale by
+        ``1/eps`` instead of normalizing — ``b_i = s_i/eps + 1`` — for a
+        SINGLE divide per combine.  Safe because maxOverGrid bounds the
+        ratio intrinsically: ``s <= 33 * max(D1^2)`` over the same table
+        the epsilon reduces, so ``b_i in [1, 3.4e7]`` and the pairwise
+        products of squares stay within f32 range for ANY input magnitude.
+      * otherwise (constant / per-node epsilon, where ``s/eps`` is
+        unbounded): pre-normalize the ``b_i`` by their sum — 2 divides —
+        so the products can neither overflow nor underflow (the raw
+        multiply-through form underflows to 0/0 = NaN in f32 whenever an
+        axis is degenerate and ``s_i + eps`` sits at the
+        smallest-normal floor).
     """
-    b1 = ss[0] + eps
-    b2 = ss[1] + eps
-    b3 = ss[2] + eps
-    r = 1.0 / (b1 + b2 + b3)
-    c1 = (b1 * r) ** 2
-    c2 = (b2 * r) ** 2
-    c3 = (b3 * r) ** 2
+    if inv_eps is not None:
+        b1 = ss[0] * inv_eps + 1.0
+        b2 = ss[1] * inv_eps + 1.0
+        b3 = ss[2] * inv_eps + 1.0
+    else:
+        b1 = ss[0] + eps
+        b2 = ss[1] + eps
+        b3 = ss[2] + eps
+        r = 1.0 / (b1 + b2 + b3)
+        b1 = b1 * r
+        b2 = b2 * r
+        b3 = b3 * r
+    c1 = b1 * b1
+    c2 = b2 * b2
+    c3 = b3 * b3
     a1 = weights[0] * (c2 * c3)
     a2 = weights[1] * (c1 * c3)
     a3 = weights[2] * (c1 * c2)
@@ -301,12 +318,14 @@ def weno5_from_padded(
     # normal number, keeping 1/(S+eps)^2 finite in every dtype.
     eps_floor = math.sqrt(float(jnp.finfo(gdata.dtype).tiny))
 
+    inv_eps = None
     if epsilon_method == "constant":
         eps_l = eps_r = 1e-6
     elif epsilon_method == "maxOverGrid":
         # Reference reduces over the *stripped* D1 table (offsets 2..n+2).
         d1s = _win(d1, axis, 2, n + 1)
         eps_l = eps_r = 1e-6 * global_max(d1s * d1s) + eps_floor
+        inv_eps = 1.0 / eps_l  # scalar: enables the 1-divide combine
     elif epsilon_method == "maxOverNeighbors":
         # Per-window max of D1^2: the left node-j window and the right
         # node-j window (reversed window j+1) cover the same entries, so
@@ -321,8 +340,8 @@ def weno5_from_padded(
 
     weights = (0.1, 0.6, 0.3)
     phis_l, phis_r, ss_l, ss_r = _weno_tables(d1, axis, n)
-    deriv_l = _weno_combine(phis_l, ss_l, weights, eps_l)
-    deriv_r = _weno_combine(phis_r, ss_r, weights, eps_r)
+    deriv_l = _weno_combine(phis_l, ss_l, weights, eps_l, inv_eps)
+    deriv_r = _weno_combine(phis_r, ss_r, weights, eps_r, inv_eps)
     return deriv_l, deriv_r
 
 

@@ -1,0 +1,374 @@
+"""Fused Pallas TPU kernel: one full RK substep of the HJ solve per launch.
+
+The RHS-only fused kernel (``weno3d.fused_hj_rhs_3d``) still pays, per
+substep, 3 XLA ghost-fill passes on its input, an alignment pad, an output
+slice, the RK axpy update, and 3 full-grid dissipation-bound reads — in
+total more HBM traffic than the kernel itself.  This module removes all of
+it by keeping the value function PERSISTENTLY in the lane-aligned
+ghost-padded layout ``(x+6, yp, zp)`` (``weno3d.aligned_dims``) and fusing
+one entire TVD-RK substep into a single kernel:
+
+    out = ca * va + cb * vb + cd * f(vb),      f = -(H - diss)
+
+with
+  * WENO5 derivL/derivR on all three axes (shared-table formulation,
+    identical math to ``derivatives.weno5_from_padded``),
+  * the Hamiltonian AND the dissipation bounds evaluated in-kernel from
+    iota-reconstructed coordinates (``weno3d.system_closures``) — alphas
+    never touch HBM (valid for ``alpha_time_invariant`` systems, which is
+    exactly when the solver's precomputed-CFL fast path runs),
+  * the solver's per-step comp-method masking (min/max with the
+    step-start value, ref ``hji_solver.py:566-599``) fused into the final
+    substep,
+  * the boundary-condition ghost fill of the OUTPUT (y and z axes) done
+    in-kernel from the freshly updated interior, so the next substep needs
+    no XLA padding at all.  Only the 6 x-ghost ROWS are refreshed by a
+    cheap XLA ``dynamic_update_slice`` post-pass
+    (:func:`refresh_x_ghosts`) — they live on the leading (untiled) axis
+    and may span blocks (periodic wrap).
+
+Steady-state HBM traffic per substep drops to ``read(vb) [+ read(va)] +
+write(out)`` ≈ 21 MB at 101³ — ~5x less than the XLA path's per-substep
+traffic — and the layout round trips (lift/lower) happen once per solve
+interval, not once per substep.
+
+Corner ghost cells (ghost in ≥2 axes simultaneously) are filled in a
+slightly different order than sequential XLA padding, but upwind stencils
+are axis-aligned and never read corners for interior outputs, so values
+are identical where they matter (asserted against the XLA path in tests).
+
+Junk lanes/columns beyond the ghost region integrate garbage (their
+"coordinates" lie outside the domain); they are never read by interior
+stencils, reductions, or the final :func:`lower` slice.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..boundary import pad_axis
+from ..grid import Grid
+from .weno3d import _smoothness, _weno_axis01, _weno_combine, aligned_dims
+
+__all__ = ["lift", "lower", "refresh_x_ghosts", "fused_substep_3d",
+           "fused_rk_step"]
+
+
+# --------------------------------------------------------------- layout moves
+def lift(grid: Grid, v: jnp.ndarray) -> jnp.ndarray:
+    """Grid-shaped value function -> aligned ghost-padded ``(x+6, yp, zp)``.
+
+    Ghost values match ``boundary.pad_axis`` per axis; trailing junk is
+    zero-initialised.  Called once per solve interval.
+    """
+    for axis in range(3):
+        v = pad_axis(grid, v, axis, 3)
+    zp, _, yp = aligned_dims(grid)
+    return jnp.pad(v, ((0, 0), (0, yp - v.shape[1]), (0, zp - v.shape[2])))
+
+
+def lower(grid: Grid, vq: jnp.ndarray) -> jnp.ndarray:
+    """Aligned ghost-padded array -> interior grid-shaped view."""
+    x, y, z = grid.shape
+    return jax.lax.slice(vq, (3, 3, 3), (3 + x, 3 + y, 3 + z))
+
+
+def refresh_x_ghosts(grid: Grid, vq: jnp.ndarray) -> jnp.ndarray:
+    """Recompute the 6 ghost ROWS (leading axis) from the interior.
+
+    Runs as XLA ``dynamic_update_slice`` on 3-row slabs — O(surface) work.
+    Periodic wrap needs rows from the far end of the grid (not visible to
+    a single kernel block); extrapolation matches
+    ``boundary.pad_extrapolate`` (slope sign away from the zero level set).
+    """
+    x = grid.shape[0]
+    if grid.periodic[0]:
+        glo = jax.lax.slice_in_dim(vq, x, x + 3, axis=0)
+        ghi = jax.lax.slice_in_dim(vq, 3, 6, axis=0)
+    else:
+        edge_lo = jax.lax.slice_in_dim(vq, 3, 4, axis=0)
+        inner_lo = jax.lax.slice_in_dim(vq, 4, 5, axis=0)
+        slope_lo = jnp.abs(edge_lo - inner_lo) * jnp.sign(edge_lo)
+        glo = jnp.concatenate(
+            [edge_lo + k * slope_lo for k in (3.0, 2.0, 1.0)], axis=0)
+        edge_hi = jax.lax.slice_in_dim(vq, x + 2, x + 3, axis=0)
+        inner_hi = jax.lax.slice_in_dim(vq, x + 1, x + 2, axis=0)
+        slope_hi = jnp.abs(edge_hi - inner_hi) * jnp.sign(edge_hi)
+        ghi = jnp.concatenate(
+            [edge_hi + k * slope_hi for k in (1.0, 2.0, 3.0)], axis=0)
+    vq = jax.lax.dynamic_update_slice(vq, glo, (0, 0, 0))
+    return jax.lax.dynamic_update_slice(vq, ghi, (x + 3, 0, 0))
+
+
+# ------------------------------------------------------------- kernel helpers
+def _roll(a, s, axis):
+    # pltpu.roll demands non-negative shifts; rotate modulo axis width
+    return pltpu.roll(a, s % a.shape[axis], axis)
+
+
+def _weno_roll_axis(g, axis, inv_dx, epsq):
+    """derivL/derivR along a tiled axis (1 or 2) via rotations, full width.
+
+    ``D1[m] = (g[m+1] - g[m]) / dx`` lives at index m; the node at padded
+    index m has left window ``D1[m-3 .. m+1]`` and right window
+    ``D1[m-2 .. m+2]`` (reversed).  Same shared-table sharing as
+    ``weno3d._weno_axis01``; indices outside the ghost-padded interior
+    hold wrap-around garbage the caller overwrites or ignores.
+    """
+    d1 = (_roll(g, -1, axis) - g) * inv_dx
+    w = tuple(_roll(d1, 3 - k, axis) for k in range(5))  # w[k][m]=D1[m-3+k]
+    u5 = _roll(d1, -2, axis)                             # D1[m+2]
+    p1l = w[0] * (1 / 3) - w[1] * (7 / 6) + w[2] * (11 / 6)
+    p2l = -w[1] * (1 / 6) + w[2] * (5 / 6) + w[3] * (1 / 3)
+    p3l = w[2] * (1 / 3) + w[3] * (5 / 6) - w[4] * (1 / 6)
+    p1r = w[3] * (11 / 6) - w[4] * (7 / 6) + u5 * (1 / 3)
+    s1, s2, s3 = _smoothness(*w)
+    dl = _weno_combine((p1l, p2l, p3l), (s1, s2, s3), epsq)
+    dr = _weno_combine(
+        (p1r, p3l, p2l),
+        (_roll(s3, -1, axis), _roll(s2, -1, axis), _roll(s1, -1, axis)),
+        epsq)
+    return dl, dr
+
+
+def _value_at(a, axis, idx):
+    """``a``'s slice at a single static index along ``axis``, keepdims.
+
+    Lane (axis 2) slices must be 128-aligned on TPU, so the lane case uses
+    a masked cross-lane reduction instead of a slice.
+    """
+    if axis != 2:
+        return jax.lax.slice_in_dim(a, idx, idx + 1, axis=axis)
+    m = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2) == idx
+    return jnp.sum(jnp.where(m, a, jnp.zeros_like(a)), axis=2, keepdims=True)
+
+
+def _fill_ghost(a, axis, n, periodic):
+    """Overwrite the 3 ghost layers on each side of ``axis`` (interior
+    width ``n``, padded offsets [0,3) and [n+3,n+6)) from the interior,
+    matching ``boundary.pad_periodic`` / ``pad_extrapolate``."""
+    i = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+    if periodic:
+        lo_vals = _roll(a, -n, axis)        # a[idx + n]
+        a = jnp.where(i < 3, lo_vals, a)
+        hi_vals = _roll(a, n, axis)         # a[idx - n]
+        return jnp.where((i >= n + 3) & (i < n + 6), hi_vals, a)
+    dtype = a.dtype
+    edge_lo = _value_at(a, axis, 3)
+    inner_lo = _value_at(a, axis, 4)
+    slope_lo = jnp.abs(edge_lo - inner_lo) * jnp.sign(edge_lo)
+    k_lo = (3 - i).astype(dtype)
+    a = jnp.where(i < 3, edge_lo + k_lo * slope_lo, a)
+    edge_hi = _value_at(a, axis, n + 2)
+    inner_hi = _value_at(a, axis, n + 1)
+    slope_hi = jnp.abs(edge_hi - inner_hi) * jnp.sign(edge_hi)
+    k_hi = (i - (n + 2)).astype(dtype)
+    return jnp.where((i >= n + 3) & (i < n + 6),
+                     edge_hi + k_hi * slope_hi, a)
+
+
+# ------------------------------------------------------------------ the kernel
+def fused_substep_3d(
+    grid: Grid,
+    ham_fn: Callable,
+    alpha_fn: Callable,
+    vb: jnp.ndarray,             # (x+6, yp, zp) ghost-padded, stencil input
+    va: jnp.ndarray,             # same layout; affine/comp operand
+    eps,                         # WENO epsilon per axis, shape (3,)
+    t,                           # substep time (traced scalar)
+    inv_eps,                     # per-axis 1/eps (3,) or None
+    cd,                          # coefficient of f: rk_coef * dt (traced)
+    params: jnp.ndarray,         # flat system parameters (SMEM)
+    *,
+    ca: float,                   # static affine coefficient of va
+    cb: float,                   # static affine coefficient of vb
+    comp: str | None = None,     # fuse comp-method: 'min'/'max'/None
+    comp_src: str = "va",        # comp operand: 'va' or 'vb'
+    restrict: str | None = None,  # clamp f sign ('min'/'max'/None)
+    block_x: int = 8,
+) -> jnp.ndarray:
+    """One fused RK substep; returns ``out`` in the same aligned layout with
+    y/z ghost layers filled (call :func:`refresh_x_ghosts` after)."""
+    xp, yp, zp = vb.shape
+    x, y, z = grid.shape
+    zp_e, _, yp_e = aligned_dims(grid)   # aligned_dims returns (zp, ny, yp)
+    if (xp, yp, zp) != (x + 6, yp_e, zp_e):
+        raise ValueError(f"state shape {vb.shape} != aligned layout "
+                         f"{(x + 6, yp_e, zp_e)}")
+    if x < block_x:
+        block_x = x
+    n_blocks = pl.cdiv(x, block_x)
+    dtype = vb.dtype
+    inv_dx = tuple(float(1.0 / d) for d in grid.dx)
+    need_va = (ca != 0.0) or (comp is not None and comp_src == "va")
+
+    scaled = inv_eps is not None
+
+    def kernel(eps_ref, inv_ref, sc_ref, params_ref, vb_hbm, va_hbm, out_hbm,
+               slabs, vas, stages, sems_in, sems_out):
+        tt = sc_ref[0]
+        cdt = sc_ref[1]
+
+        def epsq(ax):
+            return (eps_ref[ax], inv_ref[ax] if scaled else None)
+
+        def start_x(bi):
+            return jnp.minimum(bi * block_x, x - block_x)  # clamped tail
+
+        def in_dmas(slot, bi):
+            sx = start_x(bi)
+            dmas = [pltpu.make_async_copy(
+                vb_hbm.at[pl.ds(sx, block_x + 6)], slabs.at[slot],
+                sems_in.at[slot, 0])]
+            if need_va:
+                dmas.append(pltpu.make_async_copy(
+                    va_hbm.at[pl.ds(sx + 3, block_x)], vas.at[slot],
+                    sems_in.at[slot, 1]))
+            return dmas
+
+        def out_dma(slot, bi):
+            return pltpu.make_async_copy(
+                stages.at[slot],
+                out_hbm.at[pl.ds(start_x(bi) + 3, block_x)],
+                sems_out.at[slot])
+
+        for d in in_dmas(0, 0):
+            d.start()
+        for bi in range(n_blocks):
+            slot = bi % 2
+            if bi + 1 < n_blocks:
+                for d in in_dmas(1 - slot, bi + 1):
+                    d.start()
+            for d in in_dmas(slot, bi):
+                d.wait()
+
+            g = slabs[slot]                      # (BX+6, yp, zp)
+            center = g[3:3 + block_x]            # (BX, yp, zp)
+            # ---- axis 0 (untiled): slices
+            d1 = (g[1:] - g[:-1]) * inv_dx[0]
+            dl0, dr0 = _weno_axis01(d1, 0, block_x, epsq(0))
+            # ---- axes 1, 2 (tiled): rotations, full width
+            dl1, dr1 = _weno_roll_axis(center, 1, inv_dx[1], epsq(1))
+            dl2, dr2 = _weno_roll_axis(center, 2, inv_dx[2], epsq(2))
+
+            starts = (start_x(bi), -3, -3)
+            p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
+            ham = ham_fn(tt, starts, p, params_ref)
+            shape = center.shape
+            diss = (0.5 * (dr0 - dl0)
+                    * alpha_fn(tt, starts, shape, params_ref, 0)
+                    + 0.5 * (dr1 - dl1)
+                    * alpha_fn(tt, starts, shape, params_ref, 1)
+                    + 0.5 * (dr2 - dl2)
+                    * alpha_fn(tt, starts, shape, params_ref, 2))
+            f = -(ham - diss)
+            if restrict == "min":
+                f = jnp.minimum(f, 0.0)
+            elif restrict == "max":
+                f = jnp.maximum(f, 0.0)
+
+            out = cb * center + cdt * f
+            if ca != 0.0:
+                out = out + ca * vas[slot]
+            if comp is not None:
+                src = vas[slot] if comp_src == "va" else center
+                out = (jnp.minimum(out, src) if comp == "min"
+                       else jnp.maximum(out, src))
+
+            # ghost fill of the OUTPUT (y then z) from the updated interior
+            out = _fill_ghost(out, 1, y, grid.periodic[1])
+            out = _fill_ghost(out, 2, z, grid.periodic[2])
+
+            if bi >= 2:
+                out_dma(slot, bi - 2).wait()
+            stages[slot] = out
+            out_dma(slot, bi).start()
+        for bi in (n_blocks - 2, n_blocks - 1):
+            if bi >= 0:
+                out_dma(bi % 2, bi).wait()
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # eps
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # inv_eps
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # [t, cd]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # params
+            pl.BlockSpec(memory_space=pltpu.HBM),    # vb
+            pl.BlockSpec(memory_space=pltpu.HBM),    # va
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((xp, yp, zp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_x + 6, yp, zp), dtype),   # vb slabs
+            pltpu.VMEM((2, block_x, yp, zp), dtype),       # va centers
+            pltpu.VMEM((2, block_x, yp, zp), dtype),       # out stages
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        jnp.broadcast_to(jnp.asarray(eps, dtype), (3,)),
+        jnp.broadcast_to(jnp.asarray(
+            eps if inv_eps is None else inv_eps, dtype), (3,)),
+        jnp.stack([jnp.asarray(t, dtype), jnp.asarray(cd, dtype)]),
+        jnp.asarray(params, dtype).reshape(-1),
+        vb,
+        va,
+    )
+    return out
+
+
+# --------------------------------------------------------------- full RK step
+def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
+                  comp: str | None):
+    """One CFL-limited TVD-RK step on the aligned state ``vq`` with the
+    comp-method fused into the final substep.
+
+    Exactly mirrors ``integration.cfl_step`` + the solver's per-step
+    ``apply_comp`` for comp ∈ {None, 'min', 'max'} (minVOverTime /
+    maxVOverTime semantics, ref ``hji_solver.py:536-599``).  Requires
+    precomputed ``alpha_bounds`` (time-invariant alphas) — which also makes
+    the CFL ``dt`` a pure function of remaining time.
+    """
+    from ..terms import local_ops, pallas_epsilon
+    from .weno3d import system_closures
+
+    dtype = vq.dtype
+    flat_params, ham_fn, alpha_fn = system_closures(grid, system, dtype)
+    dt = jnp.minimum(cfg.factor_cfl * alpha_bounds.step_bound, t_target - t)
+    if cfg.max_step != float("inf"):
+        dt = jnp.minimum(dt, cfg.max_step)
+    ops = local_ops(grid)
+
+    scaled = cfg.epsilon_method == "maxOverGrid"
+
+    def sub(vb, va, tt, cd, ca, cb, fuse_comp, comp_src="va"):
+        eps = pallas_epsilon(grid, cfg, vb, ops)
+        o = fused_substep_3d(
+            grid, ham_fn, alpha_fn, vb, va, eps, tt,
+            (1.0 / eps) if scaled else None, cd, flat_params,
+            ca=ca, cb=cb, comp=fuse_comp, comp_src=comp_src,
+            restrict=cfg.restrict_update)
+        return refresh_x_ghosts(grid, o)
+
+    if cfg.rk_order == 1:
+        v_new = sub(vq, vq, t, dt, 0.0, 1.0, comp, comp_src="vb")
+    elif cfg.rk_order == 2:
+        v1 = sub(vq, vq, t, dt, 0.0, 1.0, None)
+        v_new = sub(v1, vq, t + dt, 0.5 * dt, 0.5, 0.5, comp)
+    elif cfg.rk_order == 3:
+        v1 = sub(vq, vq, t, dt, 0.0, 1.0, None)
+        v2 = sub(v1, vq, t + dt, 0.25 * dt, 0.75, 0.25, None)
+        v_new = sub(v2, vq, t + 0.5 * dt, (2.0 / 3.0) * dt,
+                    1.0 / 3.0, 2.0 / 3.0, comp)
+    else:
+        raise ValueError(f"rk_order must be 1, 2 or 3; got {cfg.rk_order}")
+    return t + dt, v_new

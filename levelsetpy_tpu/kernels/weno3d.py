@@ -40,25 +40,97 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..grid import Grid
 
-__all__ = ["fused_hj_rhs_3d", "fits_vmem", "aligned_dims", "widen_alphas"]
+__all__ = ["fused_hj_rhs_3d", "fits_vmem", "aligned_dims", "widen_alphas",
+           "system_closures"]
+
+
+def system_closures(grid: Grid, system, dtype):
+    """Flatten a system pytree into an SMEM-safe parameter vector plus
+    kernel-side closures that rebuild it.
+
+    Pallas kernels cannot capture traced closure constants, so system
+    parameters (which may be tracers under vmap sweeps) travel as a flat
+    SMEM vector; the returned closures rebuild the pytree inside the kernel
+    and evaluate the Hamiltonian / dissipation bound on coordinates
+    reconstructed from the block start + iota (``grid.lo``/``dx`` stay
+    python literals).
+
+    Returns ``(flat_params, ham_fn, alpha_fn)`` with
+      * ``ham_fn(t, starts, p, params_ref) -> H`` — ``p`` are the central
+        derivatives; coordinates follow ``start + iota`` per axis;
+      * ``alpha_fn(t, starts, shape, params_ref, axis) -> alpha``
+        (broadcastable against ``shape``) — valid for
+        ``alpha_time_invariant`` systems (costate box ignored).
+    """
+    leaves, treedef = jax.tree.flatten(system)
+    leaf_shapes = [jnp.shape(l) for l in leaves]
+    leaf_sizes = [int(jnp.size(l)) for l in leaves]
+    flat_params = (
+        jnp.concatenate([jnp.ravel(jnp.asarray(l, dtype)) for l in leaves])
+        if leaves else jnp.zeros((1,), dtype))
+
+    def rebuild(params_ref):
+        rebuilt, off = [], 0
+        for shp, sz in zip(leaf_shapes, leaf_sizes):
+            if shp == ():
+                vals = params_ref[off]  # plain SMEM scalar read
+            else:  # static offsets: off/sz are python ints
+                vals = jnp.stack(
+                    [params_ref[off + k] for k in range(sz)]).reshape(shp)
+            rebuilt.append(vals)
+            off += sz
+        return jax.tree.unflatten(treedef, rebuilt)
+
+    def coords_at(starts, shape):
+        # Broadcastable singleton-shaped coords (like grid.mesh_broadcastable)
+        # so transcendental system math (cos/sin of one axis) runs over N
+        # values instead of the full block — the VPU cost of the Hamiltonian
+        # and the dissipation bounds collapses to the broadcasting multiplies.
+        out = []
+        for ax in range(3):
+            shp = [1, 1, 1]
+            shp[ax] = shape[ax]
+            idx = jax.lax.broadcasted_iota(jnp.int32, tuple(shp), ax) \
+                + starts[ax]
+            out.append(grid.lo[ax] + idx.astype(dtype) * grid.dx[ax])
+        return tuple(out)
+
+    def ham_fn(tt, starts, p, params_ref):
+        sys_k = rebuild(params_ref)
+        return sys_k.hamiltonian(tt, coords_at(starts, p[0].shape), p)
+
+    def alpha_fn(tt, starts, shape, params_ref, axis):
+        sys_k = rebuild(params_ref)
+        return sys_k.alpha(tt, coords_at(starts, shape), None, None, axis)
+
+    return flat_params, ham_fn, alpha_fn
 
 
 def _win(a, axis, off, n):
     return jax.lax.slice_in_dim(a, off, off + n, axis=axis)
 
 
-def _weno_combine(phis, ss, eps):
-    """Normalized multiply-through WENO combination with weights
-    (0.1, 0.6, 0.3) — identical math to ``derivatives._weno_combine``
-    (2 divides instead of the textbook 4; see that docstring for the
-    overflow/underflow argument)."""
-    b1 = ss[0] + eps
-    b2 = ss[1] + eps
-    b3 = ss[2] + eps
-    r = 1.0 / (b1 + b2 + b3)
-    c1 = (b1 * r) ** 2
-    c2 = (b2 * r) ** 2
-    c3 = (b3 * r) ** 2
+def _weno_combine(phis, ss, epsq):
+    """Multiply-through WENO combination with weights (0.1, 0.6, 0.3) —
+    identical math to ``derivatives._weno_combine`` (1 divide on the
+    maxOverGrid path, 2 otherwise; see that docstring for the
+    overflow/underflow argument).  ``epsq = (eps, inv_eps_or_None)``."""
+    eps, inv_eps = epsq
+    if inv_eps is not None:
+        b1 = ss[0] * inv_eps + 1.0
+        b2 = ss[1] * inv_eps + 1.0
+        b3 = ss[2] * inv_eps + 1.0
+    else:
+        b1 = ss[0] + eps
+        b2 = ss[1] + eps
+        b3 = ss[2] + eps
+        r = 1.0 / (b1 + b2 + b3)
+        b1 = b1 * r
+        b2 = b2 * r
+        b3 = b3 * r
+    c1 = b1 * b1
+    c2 = b2 * b2
+    c3 = b3 * b3
     a1 = 0.1 * (c2 * c3)
     a2 = 0.6 * (c1 * c3)
     a3 = 0.3 * (c1 * c2)
@@ -75,7 +147,7 @@ def _smoothness(w0, w1, w2, w3, w4):
     return s1, s2, s3
 
 
-def _weno_axis01(d1, axis, n, eps):
+def _weno_axis01(d1, axis, n, epsq):
     """derivL/derivR from a D1 table along axis 0 or 1 (sliceable dims).
 
     Shared-table formulation (same as ``derivatives._weno_tables``): the
@@ -99,13 +171,13 @@ def _weno_axis01(d1, axis, n, eps):
         return _win(a, axis, 1, n)
 
     dl = _weno_combine((p1l, p2l, p3l),
-                       (head(s1), head(s2), head(s3)), eps)
+                       (head(s1), head(s2), head(s3)), epsq)
     dr = _weno_combine((p1r, p3l, p2l),
-                       (tail(s3), tail(s2), tail(s1)), eps)
+                       (tail(s3), tail(s2), tail(s1)), epsq)
     return dl, dr
 
 
-def _weno_lane_axis(g2, inv_dx, eps):
+def _weno_lane_axis(g2, inv_dx, epsq):
     """derivL/derivR along the LANE axis via rolls, full width.
 
     ``g2``: (BX, y, zp) padded values.  ``D1[m] = (g[m+1] - g[m]) / dx``
@@ -129,9 +201,9 @@ def _weno_lane_axis(g2, inv_dx, eps):
     p3l = w[2] * (1 / 3) + w[3] * (5 / 6) - w[4] * (1 / 6)
     p1r = w[3] * (11 / 6) - w[4] * (7 / 6) + u5 * (1 / 3)
     s1, s2, s3 = _smoothness(*w)
-    dl = _weno_combine((p1l, p2l, p3l), (s1, s2, s3), eps)
+    dl = _weno_combine((p1l, p2l, p3l), (s1, s2, s3), epsq)
     dr = _weno_combine((p1r, p3l, p2l),
-                       (_roll(s3, -1), _roll(s2, -1), _roll(s1, -1)), eps)
+                       (_roll(s3, -1), _roll(s2, -1), _roll(s1, -1)), epsq)
     return dl, dr
 
 
@@ -188,6 +260,7 @@ def fused_hj_rhs_3d(
     t,                           # time (scalar, forwarded to ham_fn)
     params: jnp.ndarray | None = None,   # flat system parameters (SMEM)
     block_x: int = 8,
+    inv_eps=None,                # per-axis 1/eps (3,) -> 1-divide combine
 ) -> jnp.ndarray:
     """One fused RHS evaluation: returns ``V_dot = -(H - diss)``.
 
@@ -219,9 +292,15 @@ def fused_hj_rhs_3d(
             f"alphas must be pre-widened to {(x, ny, zp)} (widen_alphas); "
             f"got {alphas_w[0].shape}")
 
-    def kernel(eps_ref, t_ref, params_ref, vpad_hbm, a0_hbm, a1_hbm, a2_hbm,
-               out_hbm, slabs, a0s, a1s, a2s, stages, sems_in, sems_out):
+    scaled = inv_eps is not None
+
+    def kernel(eps_ref, inv_ref, t_ref, params_ref, vpad_hbm, a0_hbm, a1_hbm,
+               a2_hbm, out_hbm, slabs, a0s, a1s, a2s, stages, sems_in,
+               sems_out):
         tt = t_ref[0]
+
+        def epsq(ax):
+            return (eps_ref[ax], inv_ref[ax] if scaled else None)
 
         def start_x(bi):
             return jnp.minimum(bi * block_x, x - block_x)  # clamped tail
@@ -265,14 +344,14 @@ def fused_hj_rhs_3d(
             # ---- axis 0: slice dims 0/1 only
             g0 = g[:, 3:3 + ny, :]
             d1 = (g0[1:] - g0[:-1]) * inv_dx[0]   # (BX+5, ny, zp)
-            dl0, dr0 = _weno_axis01(d1, 0, block_x, eps_ref[0])
+            dl0, dr0 = _weno_axis01(d1, 0, block_x, epsq(0))
             # ---- axis 1
             g1 = g[3:3 + block_x, :, :]
             d1 = (g1[:, 1:] - g1[:, :-1]) * inv_dx[1]
-            dl1, dr1 = _weno_axis01(d1, 1, ny, eps_ref[1])
+            dl1, dr1 = _weno_axis01(d1, 1, ny, epsq(1))
             # ---- axis 2 (lane axis): rolls, full width
             g2 = g[3:3 + block_x, 3:3 + ny, :]
-            dl2, dr2 = _weno_lane_axis(g2, inv_dx[2], eps_ref[2])
+            dl2, dr2 = _weno_lane_axis(g2, inv_dx[2], epsq(2))
 
             p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
             ham = ham_fn(tt, (start_x(bi), 0, -3), p, params_ref)
@@ -293,6 +372,7 @@ def fused_hj_rhs_3d(
         grid=(),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # eps
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # inv_eps
             pl.BlockSpec(memory_space=pltpu.SMEM),   # t
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params
             # keep the big arrays in HBM: DMA engines handle arbitrary
@@ -319,6 +399,8 @@ def fused_hj_rhs_3d(
         ),
     )(
         jnp.broadcast_to(jnp.asarray(eps, dtype), (3,)),
+        jnp.broadcast_to(jnp.asarray(
+            eps if inv_eps is None else inv_eps, dtype), (3,)),
         jnp.asarray(t, dtype).reshape(1),
         (jnp.zeros((1,), dtype) if params is None
          else jnp.asarray(params, dtype).reshape(-1)),

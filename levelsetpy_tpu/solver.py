@@ -95,6 +95,7 @@ def _solve_core(
     use_precomputed: bool,
     record_ttr: bool = False,
     progress: bool = False,
+    allow_fused: bool = False,  # single-device only: fused RK-step kernel
 ):
     """The solver loop, written once for every execution mode.
 
@@ -110,7 +111,23 @@ def _solve_core(
         precompute_alpha(grid, system, xs, tau[0], reduce_max=ops.reduce_max)
         if use_precomputed else None
     )
-    if alpha_bounds is not None and pallas_eligible(grid, cfg):
+    # Fused full-RK-substep kernel (kernels/hjstep.py): value function stays
+    # in the aligned ghost-padded layout across the entire interval, comp
+    # masking fused into the final substep.  Only for configurations whose
+    # per-step work the kernel covers exactly; everything else falls back to
+    # the (also Pallas-accelerated) hj_rhs path below.
+    use_fused_step = (
+        allow_fused and alpha_bounds is not None
+        and pallas_eligible(grid, cfg)
+        and comp_method in ("none", "set", "zero",
+                            "minVOverTime", "maxVOverTime")
+        and obstacles is None and targets is None and not has_discount
+    )
+    comp_flag = {"minVOverTime": "min", "maxVOverTime": "max"}.get(
+        comp_method)
+
+    if (alpha_bounds is not None and pallas_eligible(grid, cfg)
+            and not use_fused_step):
         # widen once per solve, not once per RK substep (3 full-grid pads)
         from .kernels.weno3d import widen_alphas
 
@@ -172,6 +189,31 @@ def _solve_core(
             def cond(c):
                 t, _, _, _ = c
                 return t < t1 - small
+
+            if use_fused_step:
+                from .kernels import hjstep
+
+                def body(c):
+                    t, vq, n, ttr = c
+                    t_new, vq_new = hjstep.fused_rk_step(
+                        grid, cfg, system, t, vq, t1, alpha_bounds,
+                        comp_flag)
+                    if record_ttr:
+                        v_last = hjstep.lower(grid, vq)
+                        v_cur = hjstep.lower(grid, vq_new)
+                        crossed = ((v_last > 0) & (v_cur <= 0)
+                                   & jnp.isinf(ttr))
+                        frac = v_last / jnp.where(
+                            v_last != v_cur, v_last - v_cur, 1.0)
+                        ttr = jnp.where(crossed, t + (t_new - t) * frac,
+                                        ttr)
+                    return t_new, vq_new, n + 1, ttr
+
+                _, vq, n, ttr = jax.lax.while_loop(
+                    cond, body,
+                    (t0, hjstep.lift(grid, v),
+                     jnp.zeros((), jnp.int32), ttr))
+                return hjstep.lower(grid, vq), n, ttr
 
             def body(c):
                 t, v, n, ttr = c
@@ -270,7 +312,7 @@ def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
             has_discount=has_discount,
             stop_state=stop_state, converge_threshold=converge_threshold,
             trim=trim, save_all=save_all, use_precomputed=use_precomputed,
-            record_ttr=record_ttr, progress=progress,
+            record_ttr=record_ttr, progress=progress, allow_fused=True,
         )
 
     return run

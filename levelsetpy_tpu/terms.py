@@ -106,6 +106,38 @@ class AlphaBounds:
     widened: tuple | None = None
 
 
+def pallas_epsilon(grid: Grid, cfg, v_pad, ops) -> jnp.ndarray:
+    """Per-axis WENO epsilon for the fused kernels, shape ``(3,)``.
+
+    maxOverGrid reproduces the reference semantics
+    (``upwind_first_weno5a.py:153-155``): 1e-6 * max(D1^2) over the
+    one-ghost-layer D1 table per axis.  Padding is per-axis independent, so
+    slicing the existing width-3 padded array down to one ghost layer along
+    ``axis`` (and none elsewhere) reproduces ``pad(v, axis, 1)`` exactly —
+    no extra pad kernels.  Works on both the tight ``(x+6, y+6, z+6)``
+    layout and the lane-aligned layout (trailing junk is never sliced).
+    """
+    dtype = v_pad.dtype
+    if cfg.epsilon_method == "constant":
+        return jnp.full((3,), 1e-6, dtype)
+    import math as _math
+
+    floor = _math.sqrt(float(jnp.finfo(dtype).tiny))
+    parts = []
+    for axis in range(3):
+        starts = [3, 3, 3]
+        limits = [3 + s for s in grid.shape]
+        starts[axis] -= 1
+        limits[axis] += 1
+        g1 = jax.lax.slice(v_pad, starts, limits)
+        m = g1.shape[axis]
+        d1 = (jax.lax.slice_in_dim(g1, 1, m, axis=axis)
+              - jax.lax.slice_in_dim(g1, 0, m - 1, axis=axis)) \
+            / grid.dx[axis]
+        parts.append(1e-6 * ops.reduce_max(d1 * d1) + floor)
+    return jnp.stack(parts)
+
+
 def pallas_eligible(grid: Grid, cfg: "SchemeConfig") -> bool:
     """True when ``hj_rhs`` will route through the fused Pallas kernel."""
     if not (cfg.use_pallas and grid.ndim == 3
@@ -184,74 +216,26 @@ def hj_rhs(
         ops = local_ops(grid)
 
     if alpha_bounds is not None and pallas_eligible(grid, cfg):
-        from .kernels.weno3d import fused_hj_rhs_3d, widen_alphas
+        from .kernels.weno3d import (fused_hj_rhs_3d, system_closures,
+                                     widen_alphas)
 
         v_pad = v
         for axis in range(3):
             v_pad = ops.pad(v_pad, axis, 3)
-        if cfg.epsilon_method == "constant":
-            eps = jnp.full((3,), 1e-6, v.dtype)
-        else:  # maxOverGrid: cheap per-axis reduce over D1^2 (reference
-            # semantics, upwind_first_weno5a.py:153-155).  Padding is
-            # per-axis independent, so slicing v_pad down to one ghost
-            # layer along `axis` (and none elsewhere) reproduces
-            # pad(v, axis, 1) exactly — no extra pad kernels.
-            import math as _math
-
-            floor = _math.sqrt(float(jnp.finfo(v.dtype).tiny))
-            parts = []
-            for axis in range(3):
-                starts = [3, 3, 3]
-                limits = [3 + s for s in grid.shape]
-                starts[axis] -= 1
-                limits[axis] += 1
-                g1 = jax.lax.slice(v_pad, starts, limits)
-                m = g1.shape[axis]
-                d1 = (jax.lax.slice_in_dim(g1, 1, m, axis=axis)
-                      - jax.lax.slice_in_dim(g1, 0, m - 1, axis=axis)) \
-                    / grid.dx[axis]
-                parts.append(1e-6 * ops.reduce_max(d1 * d1) + floor)
-            eps = jnp.stack(parts)
+        eps = pallas_epsilon(grid, cfg, v_pad, ops)
 
         # System parameters may be tracers (vmapped sweeps, jit args);
         # pallas kernels cannot capture traced closures, so the system
         # travels as a flattened SMEM vector and is rebuilt in-kernel.
-        leaves, treedef = jax.tree.flatten(system)
-        leaf_shapes = [jnp.shape(l) for l in leaves]
-        leaf_sizes = [int(jnp.size(l)) for l in leaves]
-        flat_params = (
-            jnp.concatenate(
-                [jnp.ravel(jnp.asarray(l, v.dtype)) for l in leaves])
-            if leaves else None)
-
-        def ham_fn(tt, starts, p, params_ref):
-            rebuilt, off = [], 0
-            for shp, sz in zip(leaf_shapes, leaf_sizes):
-                if shp == ():
-                    vals = params_ref[off]  # plain SMEM scalar read
-                else:  # static offsets: off/sz are python ints
-                    vals = jnp.stack(
-                        [params_ref[off + k] for k in range(sz)]
-                    ).reshape(shp)
-                rebuilt.append(vals)
-                off += sz
-            sys_k = jax.tree.unflatten(treedef, rebuilt)
-            # coordinates from block start + iota; grid.lo/dx stay
-            # python literals
-            shape = p[0].shape
-            coords = []
-            for ax in range(3):
-                idx = jax.lax.broadcasted_iota(jnp.int32, shape, ax) \
-                    + starts[ax]
-                coords.append(grid.lo[ax]
-                              + idx.astype(v.dtype) * grid.dx[ax])
-            return sys_k.hamiltonian(tt, tuple(coords), p)
+        flat_params, ham_fn, _ = system_closures(grid, system, v.dtype)
 
         alphas_w = (alpha_bounds.widened
                     if alpha_bounds.widened is not None
                     else widen_alphas(grid, alpha_bounds.alphas, v.dtype))
+        inv_eps = (1.0 / eps if cfg.epsilon_method == "maxOverGrid"
+                   else None)
         v_dot = fused_hj_rhs_3d(grid, ham_fn, v_pad, alphas_w, eps, t,
-                                params=flat_params)
+                                params=flat_params, inv_eps=inv_eps)
         if cfg.restrict_update == "min":
             v_dot = jnp.minimum(v_dot, 0.0)
         elif cfg.restrict_update == "max":
