@@ -118,7 +118,7 @@ def _solve_core(
     # the (also Pallas-accelerated) hj_rhs path below.
     use_fused_step = (
         allow_fused and alpha_bounds is not None
-        and pallas_eligible(grid, cfg)
+        and pallas_eligible(grid, cfg, v0, system)
         and comp_method in ("none", "set", "zero",
                             "minVOverTime", "maxVOverTime")
         and obstacles is None and targets is None and not has_discount
@@ -126,7 +126,7 @@ def _solve_core(
     comp_flag = {"minVOverTime": "min", "maxVOverTime": "max"}.get(
         comp_method)
 
-    if (alpha_bounds is not None and pallas_eligible(grid, cfg)
+    if (alpha_bounds is not None and pallas_eligible(grid, cfg, v0, system)
             and not use_fused_step):
         # widen once per solve, not once per RK substep (3 full-grid pads)
         from .kernels.weno3d import widen_alphas
@@ -281,7 +281,7 @@ def _solve_core(
 def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
                 discount_mode, has_discount, converge_threshold,
                 ignore_boundary, save_all, use_precomputed, record_ttr,
-                progress=False):
+                progress=False, allow_fused=True):
     """Jitted solver entry, memoized on every static knob so repeated
     ``solve`` calls (replanning loops, parameter sweeps) reuse the trace and
     executable.  Everything concrete is a jit ARGUMENT, not a closure:
@@ -312,7 +312,8 @@ def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
             has_discount=has_discount,
             stop_state=stop_state, converge_threshold=converge_threshold,
             trim=trim, save_all=save_all, use_precomputed=use_precomputed,
-            record_ttr=record_ttr, progress=progress, allow_fused=True,
+            record_ttr=record_ttr, progress=progress,
+            allow_fused=allow_fused,
         )
 
     return run
@@ -382,6 +383,19 @@ def solve(
              if discount_factor is not None else jnp.asarray(1.0, v0.dtype))
     stop_state = (jnp.asarray(stop_init, v0.dtype)
                   if stop_init is not None else None)
+
+    # Batched (vmapped) solves must not route through the Pallas kernels:
+    # pjit batches the traced jaxpr directly, so kernel branches can't
+    # detect vmap from inside the jit — and Mosaic rejects the batched
+    # small SMEM operands a vmapped pallas_call produces.  Check the
+    # operands HERE, outside the jit boundary, and fall back to the XLA
+    # path (which vmaps natively) by stripping use_pallas from the
+    # (cache-keyed) config.
+    from .terms import _batched
+
+    if cfg.use_pallas and _batched(system, v0, tau, obstacles, targets,
+                                   stop_state):
+        cfg = dataclasses.replace(cfg, use_pallas=False)
 
     run = _cached_run(
         grid, cfg, comp_method, obstacles_tv, targets_tv, discount_mode,

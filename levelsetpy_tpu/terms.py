@@ -138,13 +138,28 @@ def pallas_epsilon(grid: Grid, cfg, v_pad, ops) -> jnp.ndarray:
     return jnp.stack(parts)
 
 
-def pallas_eligible(grid: Grid, cfg: "SchemeConfig") -> bool:
-    """True when ``hj_rhs`` will route through the fused Pallas kernel."""
+def _batched(*trees) -> bool:
+    """True when any leaf is a vmap batch tracer.  Mosaic rejects the
+    batched small SMEM operands a vmapped pallas_call produces (the
+    auto-added block specs violate lane/sublane tiling), so batched solves
+    fall back to the XLA path — which vmaps natively."""
+    from jax._src.interpreters.batching import BatchTracer
+
+    return any(isinstance(l, BatchTracer)
+               for t in trees for l in jax.tree.leaves(t))
+
+
+def pallas_eligible(grid: Grid, cfg: "SchemeConfig", *trees) -> bool:
+    """True when ``hj_rhs`` will route through the fused Pallas kernel.
+    Pass the traced operands (state, system) as ``trees`` so vmapped
+    calls are detected and routed to the XLA path."""
     if not (cfg.use_pallas and grid.ndim == 3
             and cfg.accuracy in ("veryHigh", "weno5")
             and cfg.dissipation == "global"
             # maxOverNeighbors eps is per-node — not in the kernel (yet)
             and cfg.epsilon_method in ("constant", "maxOverGrid")):
+        return False
+    if _batched(*trees):
         return False
     from .kernels.weno3d import fits_vmem
     return fits_vmem(grid)
@@ -215,7 +230,7 @@ def hj_rhs(
     if ops is None:
         ops = local_ops(grid)
 
-    if alpha_bounds is not None and pallas_eligible(grid, cfg):
+    if alpha_bounds is not None and pallas_eligible(grid, cfg, v, system):
         from .kernels.weno3d import (fused_hj_rhs_3d, system_closures,
                                      widen_alphas)
 

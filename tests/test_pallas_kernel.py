@@ -70,8 +70,10 @@ def test_fused_kernel_constant_epsilon(interpret_pallas):
 
 
 def test_fused_kernel_traced_system_params(interpret_pallas):
-    """System params arriving as tracers (vmap over speeds) must flow
-    through the SMEM param vector."""
+    """System params arriving as jit tracers must flow through the SMEM
+    param vector; vmapped (batch-traced) calls must fall back to the XLA
+    path (Mosaic rejects the batched SMEM operands on hardware) and still
+    produce identical values."""
     grid, v, _, xs, ops, _ = setup((16, 16, 16))
     cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
     cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
@@ -81,11 +83,17 @@ def test_fused_kernel_traced_system_params(interpret_pallas):
         ab = precompute_alpha(grid, system, xs)
         return hj_rhs(grid, cfg, system, 0.0, v, xs, ab, ops)[0]
 
-    ves = jnp.array([4.0, 6.0], jnp.float32)
-    out_p = jax.vmap(lambda s: rhs_for(s, cfg_p))(ves)
-    out_x = jax.vmap(lambda s: rhs_for(s, cfg_x))(ves)
+    # jit tracer -> SMEM path (kernel runs)
+    out_p = jax.jit(lambda s: rhs_for(s, cfg_p))(jnp.float32(4.0))
+    out_x = jax.jit(lambda s: rhs_for(s, cfg_x))(jnp.float32(4.0))
     scale = float(jnp.max(jnp.abs(out_x)))
     np.testing.assert_allclose(out_p, out_x, atol=2e-5 * scale)
+
+    # batch tracer -> graceful XLA fallback, same values
+    ves = jnp.array([4.0, 6.0], jnp.float32)
+    out_pb = jax.vmap(lambda s: rhs_for(s, cfg_p))(ves)
+    out_xb = jax.vmap(lambda s: rhs_for(s, cfg_x))(ves)
+    np.testing.assert_allclose(out_pb, out_xb, atol=2e-5 * scale)
 
 
 def test_fallback_when_too_large(interpret_pallas):
