@@ -84,6 +84,10 @@ def refresh_x_ghosts(grid: Grid, vq: jnp.ndarray) -> jnp.ndarray:
     Periodic wrap needs rows from the far end of the grid (not visible to
     a single kernel block); extrapolation matches
     ``boundary.pad_extrapolate`` (slope sign away from the zero level set).
+
+    Layout-agnostic: only axis 0 is touched, so the trailing dims may be
+    the aligned ``(yp, zp)`` planes or the packed ``(L,)`` lanes
+    (``hjstep_packed``).
     """
     x = grid.shape[0]
     if grid.periodic[0]:
@@ -100,8 +104,8 @@ def refresh_x_ghosts(grid: Grid, vq: jnp.ndarray) -> jnp.ndarray:
         slope_hi = jnp.abs(edge_hi - inner_hi) * jnp.sign(edge_hi)
         ghi = jnp.concatenate(
             [edge_hi + k * slope_hi for k in (1.0, 2.0, 3.0)], axis=0)
-    vq = jax.lax.dynamic_update_slice(vq, glo, (0, 0, 0))
-    return jax.lax.dynamic_update_slice(vq, ghi, (x + 3, 0, 0))
+    vq = jax.lax.dynamic_update_slice_in_dim(vq, glo, 0, axis=0)
+    return jax.lax.dynamic_update_slice_in_dim(vq, ghi, x + 3, axis=0)
 
 
 # ------------------------------------------------------------- kernel helpers

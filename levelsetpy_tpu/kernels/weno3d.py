@@ -41,27 +41,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ..grid import Grid
 
 __all__ = ["fused_hj_rhs_3d", "fits_vmem", "aligned_dims", "widen_alphas",
-           "system_closures"]
+           "system_closures", "flatten_system"]
 
 
-def system_closures(grid: Grid, system, dtype):
-    """Flatten a system pytree into an SMEM-safe parameter vector plus
-    kernel-side closures that rebuild it.
+def flatten_system(system, dtype):
+    """Flatten a system pytree into an SMEM-safe parameter vector plus a
+    kernel-side ``rebuild(params_ref)`` closure.
 
     Pallas kernels cannot capture traced closure constants, so system
     parameters (which may be tracers under vmap sweeps) travel as a flat
-    SMEM vector; the returned closures rebuild the pytree inside the kernel
-    and evaluate the Hamiltonian / dissipation bound on coordinates
-    reconstructed from the block start + iota (``grid.lo``/``dx`` stay
-    python literals).
-
-    Returns ``(flat_params, ham_fn, alpha_fn)`` with
-      * ``ham_fn(t, starts, p, params_ref) -> H`` — ``p`` are the central
-        derivatives; coordinates follow ``start + iota`` per axis;
-      * ``alpha_fn(t, starts, shape, params_ref, axis) -> alpha``
-        (broadcastable against ``shape``) — valid for
-        ``alpha_time_invariant`` systems (costate box ignored).
-    """
+    SMEM vector and the pytree is rebuilt inside the kernel."""
     leaves, treedef = jax.tree.flatten(system)
     leaf_shapes = [jnp.shape(l) for l in leaves]
     leaf_sizes = [int(jnp.size(l)) for l in leaves]
@@ -80,6 +69,25 @@ def system_closures(grid: Grid, system, dtype):
             rebuilt.append(vals)
             off += sz
         return jax.tree.unflatten(treedef, rebuilt)
+
+    return flat_params, rebuild
+
+
+def system_closures(grid: Grid, system, dtype):
+    """Kernel-side Hamiltonian/alpha closures over a flattened system.
+
+    The closures rebuild the system pytree from the SMEM params vector and
+    evaluate on coordinates reconstructed from the block start + iota
+    (``grid.lo``/``dx`` stay python literals).
+
+    Returns ``(flat_params, ham_fn, alpha_fn)`` with
+      * ``ham_fn(t, starts, p, params_ref) -> H`` — ``p`` are the central
+        derivatives; coordinates follow ``start + iota`` per axis;
+      * ``alpha_fn(t, starts, shape, params_ref, axis) -> alpha``
+        (broadcastable against ``shape``) — valid for
+        ``alpha_time_invariant`` systems (costate box ignored).
+    """
+    flat_params, rebuild = flatten_system(system, dtype)
 
     def coords_at(starts, shape):
         # Broadcastable singleton-shaped coords (like grid.mesh_broadcastable)

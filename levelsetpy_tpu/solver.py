@@ -191,7 +191,10 @@ def _solve_core(
                 return t < t1 - small
 
             if use_fused_step:
-                from .kernels import hjstep
+                if cfg.pallas_layout == "packed":
+                    from .kernels import hjstep_packed as hjstep
+                else:
+                    from .kernels import hjstep
 
                 def body(c):
                     t, vq, n, ttr = c

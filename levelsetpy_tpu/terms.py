@@ -88,6 +88,11 @@ class SchemeConfig:
     #: (3-D grid, WENO5, precomputed alphas, transverse planes fit VMEM —
     #: see kernels/weno3d.py).  Ineligible configs fall back silently.
     use_pallas: bool = False
+    #: fused RK-step kernel layout: 'aligned' keeps (x+6, yp, zp) planes
+    #: (kernels/hjstep.py); 'packed' folds the ghost-padded (y, z) plane
+    #: into one lane axis (kernels/hjstep_packed.py) — less lane-padding
+    #: junk compute for grids far from a 128 lane multiple.
+    pallas_layout: str = "aligned"
 
     def deriv(self):
         return upwind_fn(self.accuracy)[0]
