@@ -164,7 +164,9 @@ def solve_sharded(
             targets=tgt_local, targets_tv=targets_tv,
             gamma=jnp.asarray(1.0, v0_local.dtype), discount_mode="Jaime",
             has_discount=False,
-            stop_state=None, converge_threshold=converge_threshold,
+            stop_state=None, stop_set=None, stop_set_mode=None,
+            stop_level=None, noise_sigma=None,
+            converge_threshold=converge_threshold,
             trim=lambda v: v, save_all=save_all,
             use_precomputed=use_precomputed,
         )

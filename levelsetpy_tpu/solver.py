@@ -89,6 +89,10 @@ def _solve_core(
     discount_mode: str,
     has_discount: bool,
     stop_state,                 # None or state vector for stopInit
+    stop_set,                   # None or grid-shaped implicit set
+    stop_set_mode,              # "include" | "intersect"
+    stop_level,                 # scalar level for stopSet membership
+    noise_sigma,                # None or (nd, m) diffusion matrix
     converge_threshold,
     trim: Callable,
     save_all: bool,
@@ -122,6 +126,7 @@ def _solve_core(
         and comp_method in ("none", "set", "zero",
                             "minVOverTime", "maxVOverTime")
         and obstacles is None and targets is None and not has_discount
+        and noise_sigma is None
     )
     comp_flag = {"minVOverTime": "min", "maxVOverTime": "max"}.get(
         comp_method)
@@ -137,6 +142,14 @@ def _solve_core(
 
     def rhs(t, v):
         return hj_rhs(grid, cfg, system, t, v, xs, alpha_bounds, ops)
+
+    if noise_sigma is not None:
+        # Gaussian process noise adds an Ito trace-Hessian diffusion term to
+        # the deterministic LF scheme (ref hji_solver.py:450-471: schemeFunc
+        # = termSum{termLaxFriedrichs, termTraceHessian}).
+        from .extra_terms import make_trace_hessian_term, sum_terms
+
+        rhs = sum_terms(rhs, make_trace_hessian_term(grid, noise_sigma, ops))
 
     def apply_comp(v, v_last, v0c, target_i):
         if has_discount and discount_mode == "Kene":
@@ -250,6 +263,19 @@ def _solve_core(
         if stop_state is not None:
             init_val = eval_u(grid, v_new, stop_state)
             new_done = new_done | (init_val <= 0)
+        if stop_set is not None:
+            # stopSetInclude: stop once the reachable set CONTAINS the whole
+            # {stop_set < 0} region; stopSetIntersect: once it touches it
+            # (ref hji_solver.py:250-266,687-703 — the reference's index-set
+            # comparison reimplemented as on-device masked reductions).
+            region = stop_set < 0
+            if stop_set_mode == "include":
+                worst = ops.reduce_max(
+                    jnp.where(region, v_new, -jnp.inf))
+            else:
+                worst = ops.reduce_min(
+                    jnp.where(region, v_new, jnp.inf))
+            new_done = new_done | (worst <= stop_level)
 
         if progress:
             # low-frequency structured metrics (once per tau checkpoint,
@@ -284,7 +310,8 @@ def _solve_core(
 def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
                 discount_mode, has_discount, converge_threshold,
                 ignore_boundary, save_all, use_precomputed, record_ttr,
-                progress=False, allow_fused=True):
+                progress=False, allow_fused=True, stop_set_mode=None,
+                has_noise=False):
     """Jitted solver entry, memoized on every static knob so repeated
     ``solve`` calls (replanning loops, parameter sweeps) reuse the trace and
     executable.  Everything concrete is a jit ARGUMENT, not a closure:
@@ -305,7 +332,8 @@ def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
         return v[sl]
 
     @jax.jit
-    def run(system, v0, tau, xs, obstacles, targets, gamma, stop_state):
+    def run(system, v0, tau, xs, obstacles, targets, gamma, stop_state,
+            stop_set, stop_level, noise_sigma):
         return _solve_core(
             grid=grid, cfg=cfg, comp_method=comp_method, system=system,
             v0=v0, tau=tau, xs=xs, ops=local_ops(grid),
@@ -313,7 +341,10 @@ def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
             targets=targets, targets_tv=targets_tv,
             gamma=gamma, discount_mode=discount_mode,
             has_discount=has_discount,
-            stop_state=stop_state, converge_threshold=converge_threshold,
+            stop_state=stop_state, stop_set=stop_set,
+            stop_set_mode=stop_set_mode, stop_level=stop_level,
+            noise_sigma=noise_sigma if has_noise else None,
+            converge_threshold=converge_threshold,
             trim=trim, save_all=save_all, use_precomputed=use_precomputed,
             record_ttr=record_ttr, progress=progress,
             allow_fused=allow_fused,
@@ -334,6 +365,10 @@ def solve(
     discount_factor: float | None = None,
     discount_mode: str = "Jaime",
     stop_init: jnp.ndarray | None = None,
+    stop_set_include: jnp.ndarray | None = None,
+    stop_set_intersect: jnp.ndarray | None = None,
+    stop_level: float = 0.0,
+    noise_stddev: jnp.ndarray | None = None,
     converge_threshold: float | None = None,
     ignore_boundary: bool = False,
     save_all: bool = True,
@@ -387,6 +422,34 @@ def solve(
     stop_state = (jnp.asarray(stop_init, v0.dtype)
                   if stop_init is not None else None)
 
+    # stopSet early exit (ref hji_solver.py:250-266): include and intersect
+    # are mutually exclusive; the set must be grid-shaped.
+    if stop_set_include is not None and stop_set_intersect is not None:
+        raise ValueError(
+            "stop_set_include and stop_set_intersect are mutually exclusive")
+    stop_set = (stop_set_include if stop_set_include is not None
+                else stop_set_intersect)
+    stop_set_mode = None
+    if stop_set is not None:
+        stop_set = jnp.asarray(stop_set, v0.dtype)
+        if stop_set.shape != grid.shape:
+            raise ValueError("Inconsistent stopSet dimensions!")
+        stop_set_mode = ("include" if stop_set_include is not None
+                         else "intersect")
+
+    # Gaussian process noise: a stddev vector becomes a diagonal diffusion
+    # matrix; an (nd, m) matrix is used as-is (ref extraArgs.
+    # addGaussianNoiseStandardDeviation, hji_solver.py:450-471).
+    noise_sigma = None
+    if noise_stddev is not None:
+        noise_sigma = jnp.asarray(noise_stddev, v0.dtype)
+        if noise_sigma.ndim == 1:
+            noise_sigma = jnp.diag(noise_sigma)
+        if noise_sigma.shape[0] != nd:
+            raise ValueError(
+                f"noise_stddev must have leading dim {nd}, got "
+                f"{noise_sigma.shape}")
+
     # Batched (vmapped) solves must not route through the Pallas kernels:
     # pjit batches the traced jaxpr directly, so kernel branches can't
     # detect vmap from inside the jit — and Mosaic rejects the batched
@@ -404,8 +467,10 @@ def solve(
         grid, cfg, comp_method, obstacles_tv, targets_tv, discount_mode,
         discount_factor is not None, converge_threshold, ignore_boundary,
         save_all, use_precomputed, record_ttr, progress,
+        stop_set_mode=stop_set_mode, has_noise=noise_sigma is not None,
     )
     values, changes, stop_index, steps, ttr = run(
-        system, v0, tau, xs, obstacles, targets, gamma, stop_state)
+        system, v0, tau, xs, obstacles, targets, gamma, stop_state,
+        stop_set, jnp.asarray(stop_level, v0.dtype), noise_sigma)
     return SolveResult(values=values, tau=tau, changes=changes,
                        stop_index=stop_index, steps=steps, ttr=ttr)

@@ -216,3 +216,65 @@ class TestIntegrator:
         out = integrate(rhs, 0.0, phi0, 0.25, rk_order=1)
         assert abs(float(out.t) - 0.25) < 1e-6
         assert int(out.steps) > 1
+
+
+class TestStopSetAndNoise:
+    """stopSet early exits (ref hji_solver.py:250-266,687-703) and the
+    Gaussian-noise trace-Hessian scheme (ref hji_solver.py:450-471)."""
+
+    def test_stop_set_intersect_triggers(self):
+        g, sys, phi0 = di_setup(61)
+        # a small ball the growing BRT will touch well before the horizon
+        stop = sphere(g, center=[0.35, 0.0], radius=0.05)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 3.0, 13),
+                    stop_set_intersect=stop,
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        assert int(res.stop_index) < 12
+        # include (containment) needs the whole ball covered -> stops at the
+        # same time or later than first touch
+        res_inc = solve(g, sys, phi0, tau=jnp.linspace(0.0, 3.0, 13),
+                        stop_set_include=stop,
+                        cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        assert int(res_inc.stop_index) >= int(res.stop_index)
+
+    def test_stop_set_never_touched(self):
+        g, sys, phi0 = di_setup(41)
+        # stop set outside the reachable region within a tiny horizon
+        stop = sphere(g, center=[0.9, 0.9], radius=0.02)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.1, 3),
+                    stop_set_intersect=stop,
+                    cfg=SchemeConfig(accuracy="first", rk_order=1))
+        assert int(res.stop_index) == 2
+
+    def test_stop_set_validation(self):
+        g, sys, phi0 = di_setup(21)
+        with pytest.raises(ValueError):
+            solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.1, 3),
+                  stop_set_include=phi0, stop_set_intersect=phi0)
+        with pytest.raises(ValueError):
+            solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.1, 3),
+                  stop_set_include=jnp.zeros((3, 3)))
+
+    def test_gaussian_noise_diffuses(self):
+        g, sys, phi0 = di_setup(41)
+        tau = jnp.linspace(0.0, 0.3, 4)
+        cfg = SchemeConfig(accuracy="eno2", rk_order=2)
+        det = solve(g, sys, phi0, tau=tau, cfg=cfg, comp_method="none")
+        noisy = solve(g, sys, phi0, tau=tau, cfg=cfg, comp_method="none",
+                      noise_stddev=jnp.array([0.2, 0.2]))
+        vd = np.asarray(det.values[-1])
+        vn = np.asarray(noisy.values[-1])
+        assert np.all(np.isfinite(vn))
+        assert not np.allclose(vd, vn)
+        # the diffusion term must tighten the CFL bound -> more RK steps
+        assert int(noisy.steps) > int(det.steps)
+
+    def test_noise_matrix_form_matches_diag(self):
+        g, sys, phi0 = di_setup(31)
+        tau = jnp.linspace(0.0, 0.2, 3)
+        cfg = SchemeConfig(accuracy="first", rk_order=1)
+        a = solve(g, sys, phi0, tau=tau, cfg=cfg,
+                  noise_stddev=jnp.array([0.1, 0.3]))
+        b = solve(g, sys, phi0, tau=tau, cfg=cfg,
+                  noise_stddev=jnp.diag(jnp.array([0.1, 0.3])))
+        np.testing.assert_allclose(np.asarray(a.values), np.asarray(b.values))
