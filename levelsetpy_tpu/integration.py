@@ -21,6 +21,12 @@ The reference evaluates the step bound at every substep only to *warn* about
 CFL violations (``ode_cfl_3.py:159-175``); dt always comes from the first
 evaluation.  We reproduce that dt choice (parity) and skip the host warning —
 NaN guards in the solver catch genuine blowups.
+
+Vector level sets: the reference integrates *lists* of value functions
+jointly under one shared CFL dt (``ode_cfl_3.py:104-136``).  Here ``v`` may
+be ANY pytree of arrays (tuple/dict of fields); ``rhs`` returns a matching
+pytree of derivatives plus ONE scalar step bound (take the min over fields),
+and every RK combination maps over the leaves.
 """
 from __future__ import annotations
 
@@ -47,20 +53,29 @@ def cfl_step(rhs: Rhs, t, v, t_target, factor_cfl: float, rk_order: int,
     if max_step != float("inf"):
         dt = jnp.minimum(dt, max_step)
 
+    def comb(*terms):
+        # sum of (coeff, pytree) pairs, mapped over the leaves
+        def leaf(*leaves):
+            out = terms[0][0] * leaves[0]
+            for (c, _), lf in zip(terms[1:], leaves[1:]):
+                out = out + c * lf
+            return out
+        return jax.tree.map(leaf, *(p for _, p in terms))
+
     if rk_order == 1:
-        v_new = v + dt * v_dot
+        v_new = comb((1.0, v), (dt, v_dot))
     elif rk_order == 2:
-        y1 = v + dt * v_dot
+        y1 = comb((1.0, v), (dt, v_dot))
         v_dot2, _ = rhs(t + dt, y1)
-        v_new = 0.5 * (v + y1 + dt * v_dot2)
+        v_new = comb((0.5, v), (0.5, y1), (0.5 * dt, v_dot2))
     elif rk_order == 3:
-        y1 = v + dt * v_dot
+        y1 = comb((1.0, v), (dt, v_dot))
         v_dot2, _ = rhs(t + dt, y1)
-        y2 = y1 + dt * v_dot2
-        y_half = 0.75 * v + 0.25 * y2
+        y2 = comb((1.0, y1), (dt, v_dot2))
+        y_half = comb((0.75, v), (0.25, y2))
         v_dot3, _ = rhs(t + 0.5 * dt, y_half)
-        y_three_half = y_half + dt * v_dot3
-        v_new = (v + 2.0 * y_three_half) / 3.0
+        y_three_half = comb((1.0, y_half), (dt, v_dot3))
+        v_new = comb((1.0 / 3.0, v), (2.0 / 3.0, y_three_half))
     else:
         raise ValueError(f"rk_order must be 1, 2 or 3; got {rk_order}")
     return t + dt, v_new
@@ -91,8 +106,9 @@ def integrate(
     Termination tolerance matches the reference: ``t1 - t < 100 * eps * |t1|``
     (``ode_cfl_3.py:125``).
     """
-    t0 = jnp.asarray(t0, dtype=jnp.result_type(v0.dtype))
-    small = 100.0 * jnp.finfo(v0.dtype).eps * jnp.abs(t1)
+    dtype = jax.tree.leaves(v0)[0].dtype
+    t0 = jnp.asarray(t0, dtype=jnp.result_type(dtype))
+    small = 100.0 * jnp.finfo(dtype).eps * jnp.abs(t1)
 
     def cond(carry):
         t, _, _ = carry

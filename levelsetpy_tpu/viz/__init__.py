@@ -13,11 +13,34 @@ from .marching import contour_segments, implicit_mesh, marching_tetrahedra
 __all__ = [
     "contour_segments",
     "implicit_mesh",
+    "isosurface",
     "marching_tetrahedra",
     "plot_zero_contour",
     "plot_isosurface",
     "plot_value_dashboard",
 ]
+
+
+def isosurface(phi, level, zs, axis=-1, interp_order=6,
+               power_parameter=0.5):
+    """Height-field extraction of the ``phi == level`` surface: for each
+    pencil along ``axis``, an inverse-distance weighted average of the
+    ``interp_order`` closest-to-level sample coordinates (ref
+    ``Visualization/iso_surface.py:10-28``, vectorized — no per-order
+    Python loop).  ``zs`` are the coordinates along ``axis``.  Returns an
+    array of ``phi``'s shape with ``axis`` removed."""
+    import numpy as np
+
+    phi = np.asarray(phi)
+    zs = np.asarray(zs)
+    dist = np.moveaxis((phi - level) ** 2, axis, -1)
+    k = max(1, int(interp_order))
+    arg = np.argsort(dist, axis=-1)[..., :k]
+    d = np.take_along_axis(dist, arg, axis=-1)
+    with np.errstate(divide="ignore"):
+        w = np.clip(np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), np.inf),
+                    0.0, 1.0e6) ** power_parameter
+    return (zs[arg] * w).sum(axis=-1) / w.sum(axis=-1)
 
 
 def _mpl():

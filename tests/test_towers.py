@@ -245,3 +245,40 @@ class TestMarching:
         # total length approximates the circle circumference
         lengths = np.linalg.norm(segs[:, 1] - segs[:, 0], axis=1)
         assert abs(lengths.sum() - 2 * np.pi) < 0.3
+
+
+class TestIsosurface:
+    def test_plane_height_recovered(self):
+        """phi = z - h(x, y) has its zero level exactly at z = h."""
+        import numpy as np
+        from levelsetpy_tpu.viz import isosurface
+
+        x = np.linspace(-1, 1, 21)
+        y = np.linspace(-1, 1, 19)
+        z = np.linspace(-2, 2, 41)
+        h = 0.3 + 0.2 * x[:, None] - 0.1 * y[None, :]
+        phi = z[None, None, :] - h[..., None]
+        zh = isosurface(phi, 0.0, z)
+        assert zh.shape == (21, 19)
+        np.testing.assert_allclose(zh, h, atol=0.06)
+
+    def test_axis_argument(self):
+        import numpy as np
+        from levelsetpy_tpu.viz import isosurface
+
+        z = np.linspace(0.0, 1.0, 31)
+        phi = z[:, None] - 0.5 + 0.0 * np.zeros((31, 7))
+        zh = isosurface(phi, 0.0, z, axis=0)
+        np.testing.assert_allclose(zh, 0.5, atol=0.02)
+
+    def test_exact_hit_no_nan(self):
+        import numpy as np
+        from levelsetpy_tpu.viz import isosurface
+
+        z = np.linspace(-1.0, 1.0, 21)  # contains exactly 0.0
+        phi = np.broadcast_to(z, (4, 21))
+        zh = isosurface(phi, 0.0, z)
+        assert np.all(np.isfinite(zh))
+        # interp_order=6 takes an odd extra neighbor on one side of the tie,
+        # so the estimate carries a tiny O(dz/100) bias — same as the ref
+        np.testing.assert_allclose(zh, 0.0, atol=2e-3)
