@@ -45,6 +45,7 @@ from .extra_terms import (make_convection_term, make_curvature_term,
                           make_normal_term, make_reinit_term,
                           make_trace_hessian_term, reinitialize,
                           restrict_update, sum_terms)
-from .checkpoint import load_checkpoint, resume_tau, save_checkpoint
+from .checkpoint import (load_checkpoint, load_metadata, resume_tau,
+                         save_checkpoint)
 
 __version__ = "0.1.0"

@@ -440,33 +440,39 @@ def padded_fn(name: str):
 
 
 # ----------------------------------------------------- centered / second order
-def centered_first(grid: Grid, data: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Second-order centered first derivative (ref ``Other/centered.py``)."""
+def centered_first(grid: Grid, data: jnp.ndarray, axis: int,
+                   pad: Callable | None = None) -> jnp.ndarray:
+    """Second-order centered first derivative (ref ``Other/centered.py``).
+
+    ``pad(v, axis, width)`` overrides the ghost fill (halo exchange inside
+    ``shard_map``); defaults to the grid's boundary conditions."""
     n = data.shape[axis]
-    g = pad_axis(grid, data, axis, 1)
+    g = (pad or (lambda v, a, w: pad_axis(grid, v, a, w)))(data, axis, 1)
     return (_win(g, axis, 2, n) - _win(g, axis, 0, n)) / (2 * grid.dx[axis])
 
 
-def second_derivative(grid: Grid, data: jnp.ndarray, axis: int) -> jnp.ndarray:
+def second_derivative(grid: Grid, data: jnp.ndarray, axis: int,
+                      pad: Callable | None = None) -> jnp.ndarray:
     """Centered second derivative along one axis."""
     n = data.shape[axis]
-    g = pad_axis(grid, data, axis, 1)
+    g = (pad or (lambda v, a, w: pad_axis(grid, v, a, w)))(data, axis, 1)
     return (
         _win(g, axis, 2, n) - 2 * _win(g, axis, 1, n) + _win(g, axis, 0, n)
     ) / (grid.dx[axis] ** 2)
 
 
-def hessian(grid: Grid, data: jnp.ndarray):
+def hessian(grid: Grid, data: jnp.ndarray, pad: Callable | None = None):
     """Full Hessian (tuple-of-tuples) + gradient via centered differences
     (ref ``Other/hessian.py:4,44-50``).  Mixed partials are centered-of-
-    centered; everything is ghost-filled per the grid's BCs."""
+    centered; everything is ghost-filled per the grid's BCs (or the
+    supplied ``pad`` — halo exchange when the data is a shard)."""
     nd = data.ndim
-    grad = tuple(centered_first(grid, data, a) for a in range(nd))
+    grad = tuple(centered_first(grid, data, a, pad) for a in range(nd))
     h = [[None] * nd for _ in range(nd)]
     for i in range(nd):
-        h[i][i] = second_derivative(grid, data, i)
+        h[i][i] = second_derivative(grid, data, i, pad)
         for j in range(i + 1, nd):
-            h[i][j] = h[j][i] = centered_first(grid, grad[i], j)
+            h[i][j] = h[j][i] = centered_first(grid, grad[i], j, pad)
     return tuple(tuple(row) for row in h), grad
 
 

@@ -302,15 +302,24 @@ def make_trace_hessian_term(
     def rhs(t, v):
         sg = sigma(t) if callable(sigma) else sigma
         sg = jnp.asarray(sg)
-        h, _ = hessian(grid, v)
-        # A = sigma sigma^T (nd x nd), delta = 1/2 sum_ij A_ij H_ij
+        h, _ = hessian(grid, v, pad=ops.pad)
+        # A = sigma sigma^T (nd x nd), delta = 1/2 sum_ij A_ij H_ij.
+        # Deliberate deviation from the reference: termTraceHessian applies
+        # the FULL trace (no 1/2) — the 1/2 here is the Ito-correct
+        # diffusion coefficient for process noise with stddev sigma, so for
+        # the same sigma this term is half the reference's (flagged like
+        # the other fixed reference bugs; see COVERAGE.md).
         a = sg @ sg.T if sg.ndim == 2 else jnp.diag(sg * sg)
         delta = jnp.zeros_like(v)
         sb_inv = 0.0
         for i in range(nd):
             for j in range(nd):
                 delta = delta + 0.5 * a[i, j] * h[i][j]
-            sb_inv = sb_inv + jnp.abs(a[i, i]) / grid.dx[i] ** 2
+                # CFL bound over ALL |a_ij|/(dx_i dx_j) pairs — the
+                # diagonal alone is optimistic for correlated
+                # (off-diagonal-heavy) diffusions
+                sb_inv = sb_inv + jnp.abs(a[i, j]) / (grid.dx[i]
+                                                      * grid.dx[j])
         return delta, 1.0 / jnp.maximum(sb_inv, 1e-12)
 
     return rhs

@@ -30,14 +30,15 @@ and every RK combination maps over the leaves.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["cfl_step", "integrate"]
 
-#: rhs signature: (t, v) -> (v_dot, step_bound)
+#: rhs signature: (t, v) -> (v_dot, step_bound); v may be any pytree of
+#: arrays (vector level sets), v_dot a matching pytree, step_bound ONE scalar
 Rhs = Callable
 
 
@@ -83,7 +84,7 @@ def cfl_step(rhs: Rhs, t, v, t_target, factor_cfl: float, rk_order: int,
 
 class IntegrateResult(NamedTuple):
     t: jnp.ndarray
-    v: jnp.ndarray
+    v: Any            # pytree matching the input state (vector level sets)
     steps: jnp.ndarray
 
 
@@ -105,6 +106,10 @@ def integrate(
     ``postTimestep``/``compMethod``-per-step hook (``hji_solver.py:536-599``).
     Termination tolerance matches the reference: ``t1 - t < 100 * eps * |t1|``
     (``ode_cfl_3.py:125``).
+
+    ``v0`` may be ANY pytree of arrays (vector level sets, ref
+    ``ode_cfl_3.py:104-136``): ``rhs`` must return a matching pytree of
+    derivatives plus ONE shared scalar step bound.
     """
     dtype = jax.tree.leaves(v0)[0].dtype
     t0 = jnp.asarray(t0, dtype=jnp.result_type(dtype))

@@ -85,9 +85,7 @@ def refresh_x_ghosts(grid: Grid, vq: jnp.ndarray) -> jnp.ndarray:
     a single kernel block); extrapolation matches
     ``boundary.pad_extrapolate`` (slope sign away from the zero level set).
 
-    Layout-agnostic: only axis 0 is touched, so the trailing dims may be
-    the aligned ``(yp, zp)`` planes or the packed ``(L,)`` lanes
-    (``hjstep_packed``).
+    Only axis 0 is touched, so the trailing dims are opaque.
     """
     x = grid.shape[0]
     if grid.periodic[0]:

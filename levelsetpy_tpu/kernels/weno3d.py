@@ -269,6 +269,9 @@ def fused_hj_rhs_3d(
     params: jnp.ndarray | None = None,   # flat system parameters (SMEM)
     block_x: int = 8,
     inv_eps=None,                # per-axis 1/eps (3,) -> 1-divide combine
+    origin=None,                 # per-axis global index offset (3 traced
+                                 # int32) — the shard's block start when the
+                                 # kernel runs on a local shard_map block
 ) -> jnp.ndarray:
     """One fused RHS evaluation: returns ``V_dot = -(H - diss)``.
 
@@ -276,6 +279,13 @@ def fused_hj_rhs_3d(
     slab's starting grid index per axis (the lane axis index is the PADDED
     offset minus 3 — i.e. coordinates follow ``idx - 3`` lanes), the central
     derivatives (lane width ``zp``), and the SMEM params ref.
+
+    Sharded execution: call with the LOCAL grid (``grid.shape`` = the
+    shard's block, same ``lo``/``dx`` as the global grid), the
+    halo-exchanged padded block as ``v_pad``, and ``origin`` = the block's
+    starting global index per axis (``axis_index * local_n``, traced) —
+    coordinates are reconstructed in-kernel as ``lo + (local_idx + origin)
+    * dx``, so every shard runs the identical program (SPMD).
     """
     xp, yp0, zp0 = v_pad.shape
     x, y, z = xp - 6, yp0 - 6, zp0 - 6
@@ -302,9 +312,9 @@ def fused_hj_rhs_3d(
 
     scaled = inv_eps is not None
 
-    def kernel(eps_ref, inv_ref, t_ref, params_ref, vpad_hbm, a0_hbm, a1_hbm,
-               a2_hbm, out_hbm, slabs, a0s, a1s, a2s, stages, sems_in,
-               sems_out):
+    def kernel(eps_ref, inv_ref, t_ref, params_ref, org_ref, vpad_hbm,
+               a0_hbm, a1_hbm, a2_hbm, out_hbm, slabs, a0s, a1s, a2s, stages,
+               sems_in, sems_out):
         tt = t_ref[0]
 
         def epsq(ax):
@@ -362,7 +372,8 @@ def fused_hj_rhs_3d(
             dl2, dr2 = _weno_lane_axis(g2, inv_dx[2], epsq(2))
 
             p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
-            ham = ham_fn(tt, (start_x(bi), 0, -3), p, params_ref)
+            ham = ham_fn(tt, (org_ref[0] + start_x(bi), org_ref[1],
+                              org_ref[2] - 3), p, params_ref)
             diss = (0.5 * (dr0 - dl0) * a0s[slot]
                     + 0.5 * (dr1 - dl1) * a1s[slot]
                     + 0.5 * (dr2 - dl2) * a2s[slot])
@@ -383,6 +394,7 @@ def fused_hj_rhs_3d(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # inv_eps
             pl.BlockSpec(memory_space=pltpu.SMEM),   # t
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # origin
             # keep the big arrays in HBM: DMA engines handle arbitrary
             # slice offsets there, while ANY may place them in VMEM where
             # memref slices must be 128-lane aligned
@@ -412,6 +424,8 @@ def fused_hj_rhs_3d(
         jnp.asarray(t, dtype).reshape(1),
         (jnp.zeros((1,), dtype) if params is None
          else jnp.asarray(params, dtype).reshape(-1)),
+        (jnp.zeros((3,), jnp.int32) if origin is None
+         else jnp.stack([jnp.asarray(o, jnp.int32) for o in origin])),
         v_pad,
         *alphas_w,
     )

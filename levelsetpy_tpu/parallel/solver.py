@@ -30,12 +30,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..boundary import pad_axis
 from ..grid import Grid
-from ..solver import SolveResult, _solve_core
+from ..solver import SolveResult, _prep_operands, _solve_core
 from ..systems.base import System
 from ..terms import GridOps, SchemeConfig
+from ..values import eval_u
 from .halo import pad_axis_sharded
 
-__all__ = ["make_mesh", "solve_sharded", "shard_ops", "local_coords"]
+__all__ = ["make_mesh", "solve_sharded", "shard_ops", "local_coords",
+           "local_grid"]
 
 
 def make_mesh(axis_sizes: Mapping[str, int], devices=None) -> Mesh:
@@ -95,6 +97,22 @@ def local_coords(grid: Grid, shard_axes: Mapping[int, str], dtype):
     return tuple(out)
 
 
+def local_grid(grid: Grid, shard_axes: Mapping[int, str],
+               mesh: Mesh) -> Grid:
+    """The static grid of ONE shard's block: local shape, same ``lo``/``dx``
+    as the global grid (coordinates are offset at runtime by the block's
+    global start index — see :func:`local_coords` and the ``origin``
+    argument of the fused Pallas kernel)."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    shape = tuple(
+        grid.shape[i] // sizes[shard_axes[i]] if i in shard_axes
+        else grid.shape[i] for i in range(grid.ndim))
+    hi = tuple(grid.lo[i] + (shape[i] - 1) * grid.dx[i]
+               for i in range(grid.ndim))
+    return Grid(lo=grid.lo, hi=hi, shape=shape, periodic=grid.periodic,
+                endpoint_inclusive=grid.endpoint_inclusive)
+
+
 def solve_sharded(
     grid: Grid,
     system: System,
@@ -106,23 +124,48 @@ def solve_sharded(
     comp_method: str = "minVOverTime",
     obstacles: jnp.ndarray | None = None,
     targets: jnp.ndarray | None = None,
+    discount_factor: float | None = None,
+    discount_mode: str = "Jaime",
+    stop_init: jnp.ndarray | None = None,
+    stop_set_include: jnp.ndarray | None = None,
+    stop_set_intersect: jnp.ndarray | None = None,
+    stop_level: float = 0.0,
+    noise_stddev: jnp.ndarray | None = None,
     converge_threshold: float | None = None,
+    ignore_boundary: bool = False,
     save_all: bool = True,
+    record_ttr: bool = False,
+    nan_guard: bool = True,
 ) -> SolveResult:
-    """Sharded equivalent of :func:`levelsetpy_tpu.solve`.
+    """Sharded equivalent of :func:`levelsetpy_tpu.solve` — full feature
+    parity with the single-device entry point, same numerical core
+    (``solver._solve_core``) inside one ``shard_map``-ped jit program.
 
     ``shard_axes`` maps grid axes to mesh axis names, e.g. ``{0: "x",
     1: "y"}`` on ``make_mesh({"x": 2, "y": 4})``.  Every sharded grid axis
     must divide evenly by its mesh axis size (pad the grid otherwise).
-    ``stop_init`` is intentionally absent — point queries against a sharded
-    array belong to the (host-side) post-processing path.
+
+    Feature notes (all reductions ride the :func:`shard_ops` seam so every
+    shard agrees):
+      * ``stop_init`` evaluates V(state) on the all-gathered global array
+        once per tau checkpoint (ref ``hji_solver.py:676-684``) — a few MB
+        over ICI at checkpoint frequency, not per RK step.
+      * ``ignore_boundary`` masks the convergence reduction by each node's
+        GLOBAL index (the single-device path slices instead —
+        ref ``hji_solver.py:663``); identical effective region.
+      * ``cfg.use_pallas`` runs the fused Pallas RHS kernel per shard on
+        its halo-exchanged local block (see ``terms.hj_rhs``); the
+        persistent-layout fused RK-step kernel stays single-device (its
+        in-kernel ghost fill would have to be a halo exchange, which is
+        exactly what the per-RHS path already does).
     """
     from ..derivatives import GHOST_WIDTH
 
     shard_axes = {int(k): v for k, v in shard_axes.items()}
     width = GHOST_WIDTH[cfg.accuracy]
+    mesh_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     for ax, name in shard_axes.items():
-        msize = dict(zip(mesh.axis_names, mesh.devices.shape))[name]
+        msize = mesh_sizes[name]
         if grid.shape[ax] % msize:
             raise ValueError(
                 f"grid axis {ax} ({grid.shape[ax]} nodes) must divide mesh "
@@ -133,62 +176,113 @@ def solve_sharded(
                 f"grid axis {ax}: {local} local nodes per shard is below "
                 f"the {width}-cell stencil halo of {cfg.accuracy!r}; use "
                 f"fewer shards or a finer grid")
+
+    op = _prep_operands(grid, system, v0, tau, cfg, comp_method, obstacles,
+                        targets, discount_factor, discount_mode, stop_init,
+                        stop_set_include, stop_set_intersect, stop_level,
+                        noise_stddev)
+    cfg = op.cfg
     nd = grid.ndim
-    obstacles_tv = obstacles is not None and obstacles.ndim == nd + 1
-    targets_tv = targets is not None and targets.ndim == nd + 1
-    if obstacles is not None:
-        obstacles = obstacles.astype(v0.dtype)
-        obs0 = obstacles[0] if obstacles_tv else obstacles
-        v0 = jnp.maximum(v0, -obs0)
-    if targets is not None:
-        targets = targets.astype(v0.dtype)
-    tau = jnp.asarray(tau, dtype=v0.dtype)
-    use_precomputed = (
-        system.alpha_time_invariant and cfg.dissipation == "global"
-    )
     mesh_axes = tuple(mesh.axis_names)
+    lgrid = local_grid(grid, shard_axes, mesh)
 
     grid_spec = P(*(shard_axes.get(i) for i in range(nd)))
     grid_spec_t = P(None, *(shard_axes.get(i) for i in range(nd)))
 
-    def body(system, v0_local, tau, *rest):
+    def global_index(axis, dtype=jnp.int32):
+        """This shard's global node indices along ``axis``, broadcastable."""
+        shp = [1] * nd
+        shp[axis] = lgrid.shape[axis]
+        idx = jnp.arange(lgrid.shape[axis], dtype=dtype).reshape(shp)
+        if axis in shard_axes:
+            idx = idx + jax.lax.axis_index(shard_axes[axis]) \
+                * lgrid.shape[axis]
+        return idx
+
+    def body(system, v0_local, tau, gamma, stop_state, stop_set_local,
+             stop_level, noise_sigma, *rest):
         rest = list(rest)
-        obs_local = rest.pop(0) if obstacles is not None else None
-        tgt_local = rest.pop(0) if targets is not None else None
+        obs_local = rest.pop(0) if op.obstacles is not None else None
+        tgt_local = rest.pop(0) if op.targets is not None else None
         ops = shard_ops(grid, shard_axes, mesh_axes)
         xs = local_coords(grid, shard_axes, v0_local.dtype)
-        values, changes, stop_index, steps, _ = _solve_core(
+        origin = tuple(
+            jax.lax.axis_index(shard_axes[i]) * lgrid.shape[i]
+            if i in shard_axes else jnp.zeros((), jnp.int32)
+            for i in range(nd))
+
+        def trim(v):
+            # Global-index mask instead of the single-device slice (ref
+            # ignoreBoundary trims 4*dx per side, hji_solver.py:507,663):
+            # out-of-region nodes map to 0 in BOTH operands of the change
+            # reduction, so they never contribute.
+            if not ignore_boundary:
+                return v
+            mask = jnp.ones((), jnp.bool_)
+            for i in range(nd):
+                if grid.shape[i] > 8:
+                    gi = global_index(i)
+                    mask = mask & (gi >= 4) & (gi < grid.shape[i] - 4)
+            return jnp.where(mask, v, jnp.zeros((), v.dtype))
+
+        def eval_fn(v_local, state):
+            # stopInit point query: gather the global array (once per tau
+            # checkpoint) and reuse the exact single-device interpolation.
+            v_full = v_local
+            for i in range(nd):
+                if i in shard_axes:
+                    v_full = jax.lax.all_gather(
+                        v_full, shard_axes[i], axis=i, tiled=True)
+            return eval_u(grid, v_full, state)
+
+        out = _solve_core(
             grid=grid, cfg=cfg, comp_method=comp_method, system=system,
             v0=v0_local, tau=tau, xs=xs, ops=ops,
-            obstacles=obs_local, obstacles_tv=obstacles_tv,
-            targets=tgt_local, targets_tv=targets_tv,
-            gamma=jnp.asarray(1.0, v0_local.dtype), discount_mode="Jaime",
-            has_discount=False,
-            stop_state=None, stop_set=None, stop_set_mode=None,
-            stop_level=None, noise_sigma=None,
+            obstacles=obs_local, obstacles_tv=op.obstacles_tv,
+            targets=tgt_local, targets_tv=op.targets_tv,
+            gamma=gamma, discount_mode=discount_mode,
+            has_discount=discount_factor is not None,
+            stop_state=stop_state, stop_set=stop_set_local,
+            stop_set_mode=op.stop_set_mode, stop_level=stop_level,
+            noise_sigma=noise_sigma,
             converge_threshold=converge_threshold,
-            trim=lambda v: v, save_all=save_all,
-            use_precomputed=use_precomputed,
+            trim=trim, save_all=save_all,
+            use_precomputed=op.use_precomputed,
+            record_ttr=record_ttr, nan_guard=nan_guard,
+            pallas_grid=lgrid, pallas_origin=origin, eval_fn=eval_fn,
         )
-        return values, changes, stop_index, steps
+        values, changes, stop_index, steps, ttr, nan_index = out
+        if record_ttr:
+            return values, changes, stop_index, steps, nan_index, ttr
+        return values, changes, stop_index, steps, nan_index
 
     extra_args, extra_specs = [], []
-    if obstacles is not None:
-        extra_args.append(obstacles)
-        extra_specs.append(grid_spec_t if obstacles_tv else grid_spec)
-    if targets is not None:
-        extra_args.append(targets)
-        extra_specs.append(grid_spec_t if targets_tv else grid_spec)
+    if op.obstacles is not None:
+        extra_args.append(op.obstacles)
+        extra_specs.append(grid_spec_t if op.obstacles_tv else grid_spec)
+    if op.targets is not None:
+        extra_args.append(op.targets)
+        extra_specs.append(grid_spec_t if op.targets_tv else grid_spec)
+
+    out_specs = (grid_spec_t, P(), P(), P(), P())
+    if record_ttr:
+        out_specs = out_specs + (grid_spec,)
 
     mapped = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), grid_spec, P(), *extra_specs),
-        out_specs=(grid_spec_t, P(), P(), P()),
+        in_specs=(P(), grid_spec, P(), P(), P(),
+                  grid_spec if op.stop_set is not None else P(),
+                  P(), P(), *extra_specs),
+        out_specs=out_specs,
         check_vma=False,
     )
 
     run = jax.jit(mapped)
-    values, changes, stop_index, steps = run(system, v0, tau, *extra_args)
-    return SolveResult(values=values, tau=tau, changes=changes,
-                       stop_index=stop_index, steps=steps)
+    out = run(system, op.v0, op.tau, op.gamma, op.stop_state, op.stop_set,
+              op.stop_level, op.noise_sigma, *extra_args)
+    values, changes, stop_index, steps, nan_index = out[:5]
+    ttr = out[5] if record_ttr else None
+    return SolveResult(values=values, tau=op.tau, changes=changes,
+                       stop_index=stop_index, steps=steps, ttr=ttr,
+                       nan_index=nan_index)

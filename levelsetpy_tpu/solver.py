@@ -69,6 +69,10 @@ class SolveResult(NamedTuple):
     #: ref Helper/post_ttr.py); inf where never reached; None unless
     #: record_ttr was requested
     ttr: jnp.ndarray | None = None
+    #: first interval index whose update produced a non-finite value (the
+    #: NaN guard froze the state there; ref raised per step,
+    #: hji_solver.py:544); -1 when the solve stayed finite
+    nan_index: jnp.ndarray | None = None
 
 
 def _solve_core(
@@ -100,16 +104,27 @@ def _solve_core(
     record_ttr: bool = False,
     progress: bool = False,
     allow_fused: bool = False,  # single-device only: fused RK-step kernel
+    pallas_grid: Grid | None = None,   # LOCAL block grid inside shard_map
+    pallas_origin=None,                # traced per-axis global block starts
+    eval_fn: Callable | None = None,   # point query V(state) for stopInit
+    nan_guard: bool = True,
 ):
     """The solver loop, written once for every execution mode.
 
     ``v0``/``obstacles``/``targets`` may be local shards; ``xs`` must be the
     matching (broadcastable) coordinate arrays and ``ops`` the matching
     pad/reduce operations.  All early-stop predicates reduce through ``ops``
-    so they agree across shards.
+    so they agree across shards.  ``pallas_grid``/``pallas_origin`` route
+    the fused Pallas kernel onto local shard blocks (see ``terms.hj_rhs``);
+    ``eval_fn(v, state)`` overrides the stopInit point query (the sharded
+    solver evaluates it on the all-gathered global array).
     """
     n_tau = tau.shape[0]
     small_scale = 100.0 * jnp.finfo(v0.dtype).eps
+    pgrid = pallas_grid if pallas_grid is not None else grid
+    if eval_fn is None:
+        def eval_fn(v, state):
+            return eval_u(grid, v, state)
 
     alpha_bounds = (
         precompute_alpha(grid, system, xs, tau[0], reduce_max=ops.reduce_max)
@@ -131,22 +146,25 @@ def _solve_core(
     comp_flag = {"minVOverTime": "min", "maxVOverTime": "max"}.get(
         comp_method)
 
-    if (alpha_bounds is not None and pallas_eligible(grid, cfg, v0, system)
+    if (alpha_bounds is not None and pallas_eligible(pgrid, cfg, v0, system)
             and not use_fused_step):
         # widen once per solve, not once per RK substep (3 full-grid pads)
         from .kernels.weno3d import widen_alphas
 
         alpha_bounds = dataclasses.replace(
             alpha_bounds,
-            widened=widen_alphas(grid, alpha_bounds.alphas, v0.dtype))
+            widened=widen_alphas(pgrid, alpha_bounds.alphas, v0.dtype))
 
     def rhs(t, v):
-        return hj_rhs(grid, cfg, system, t, v, xs, alpha_bounds, ops)
+        return hj_rhs(grid, cfg, system, t, v, xs, alpha_bounds, ops,
+                      pallas_grid=pallas_grid, pallas_origin=pallas_origin)
 
     if noise_sigma is not None:
         # Gaussian process noise adds an Ito trace-Hessian diffusion term to
         # the deterministic LF scheme (ref hji_solver.py:450-471: schemeFunc
-        # = termSum{termLaxFriedrichs, termTraceHessian}).
+        # = termSum{termLaxFriedrichs, termTraceHessian}).  Deliberate
+        # deviation: the term carries the Ito-correct 1/2 factor the
+        # reference omits — see make_trace_hessian_term.
         from .extra_terms import make_trace_hessian_term, sum_terms
 
         rhs = sum_terms(rhs, make_trace_hessian_term(grid, noise_sigma, ops))
@@ -204,10 +222,7 @@ def _solve_core(
                 return t < t1 - small
 
             if use_fused_step:
-                if cfg.pallas_layout == "packed":
-                    from .kernels import hjstep_packed as hjstep
-                else:
-                    from .kernels import hjstep
+                from .kernels import hjstep
 
                 def body(c):
                     t, vq, n, ttr = c
@@ -258,10 +273,22 @@ def _solve_core(
         change = ops.reduce_max(jnp.abs(trim(v_new) - trim(v_in)))
 
         new_done = done
+        bad = jnp.zeros((), jnp.bool_)
+        if nan_guard:
+            # A non-finite node makes the max|dV| reduction non-finite
+            # (NaN/inf propagate through max of abs), so the guard folds
+            # into the change reduction at zero extra passes.  Freeze the
+            # pre-interval state and stop (the reference raised per step,
+            # hji_solver.py:544); ``nan_index`` reports where.
+            bad = ~jnp.isfinite(change) & ~done
+            v_new = jnp.where(bad, v_in, v_new)
+            if record_ttr:
+                ttr_new = jnp.where(bad, ttr_in, ttr_new)
+            new_done = new_done | bad
         if converge_threshold is not None:
             new_done = new_done | (change < converge_threshold)
         if stop_state is not None:
-            init_val = eval_u(grid, v_new, stop_state)
+            init_val = eval_fn(v_new, stop_state)
             new_done = new_done | (init_val <= 0)
         if stop_set is not None:
             # stopSetInclude: stop once the reachable set CONTAINS the whole
@@ -289,21 +316,24 @@ def _solve_core(
 
         out = v_new if save_all else None
         return (v_new, new_done, steps + n_steps, ttr_new), \
-            (out, change, done)
+            (out, change, done, bad)
 
-    (v_fin, _, steps, ttr_fin), (vs, changes, was_done) = jax.lax.scan(
-        interval,
-        (v0, jnp.zeros((), jnp.bool_), jnp.zeros((), jnp.int32), ttr0),
-        jnp.arange(n_tau - 1),
-    )
+    (v_fin, _, steps, ttr_fin), (vs, changes, was_done, was_bad) = \
+        jax.lax.scan(
+            interval,
+            (v0, jnp.zeros((), jnp.bool_), jnp.zeros((), jnp.int32), ttr0),
+            jnp.arange(n_tau - 1),
+        )
     stop_index = jnp.where(jnp.any(was_done), jnp.argmax(was_done),
                            n_tau - 1)
+    nan_index = jnp.where(jnp.any(was_bad), jnp.argmax(was_bad),
+                          jnp.int32(-1)).astype(jnp.int32)
     if save_all:
         values = jnp.concatenate([v0[None], vs], axis=0)
     else:
         values = v_fin[None]
     return values, changes, stop_index, steps, \
-        (ttr_fin if record_ttr else None)
+        (ttr_fin if record_ttr else None), nan_index
 
 
 @functools.lru_cache(maxsize=64)
@@ -311,7 +341,7 @@ def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
                 discount_mode, has_discount, converge_threshold,
                 ignore_boundary, save_all, use_precomputed, record_ttr,
                 progress=False, allow_fused=True, stop_set_mode=None,
-                has_noise=False):
+                has_noise=False, nan_guard=True):
     """Jitted solver entry, memoized on every static knob so repeated
     ``solve`` calls (replanning loops, parameter sweeps) reuse the trace and
     executable.  Everything concrete is a jit ARGUMENT, not a closure:
@@ -347,42 +377,39 @@ def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
             converge_threshold=converge_threshold,
             trim=trim, save_all=save_all, use_precomputed=use_precomputed,
             record_ttr=record_ttr, progress=progress,
-            allow_fused=allow_fused,
+            allow_fused=allow_fused, nan_guard=nan_guard,
         )
 
     return run
 
 
-def solve(
-    grid: Grid,
-    system: System,
-    v0: jnp.ndarray,
-    tau,
-    cfg: SchemeConfig = SchemeConfig(),
-    comp_method: str = "minVOverTime",
-    obstacles: jnp.ndarray | None = None,
-    targets: jnp.ndarray | None = None,
-    discount_factor: float | None = None,
-    discount_mode: str = "Jaime",
-    stop_init: jnp.ndarray | None = None,
-    stop_set_include: jnp.ndarray | None = None,
-    stop_set_intersect: jnp.ndarray | None = None,
-    stop_level: float = 0.0,
-    noise_stddev: jnp.ndarray | None = None,
-    converge_threshold: float | None = None,
-    ignore_boundary: bool = False,
-    save_all: bool = True,
-    record_ttr: bool = False,
-    progress: bool = False,
-) -> SolveResult:
-    """Solve the HJI PDE over checkpoint times ``tau`` on a single device.
+class _Operands(NamedTuple):
+    """Validated/normalized solve inputs, shared by the single-device and
+    the sharded (``parallel.solve_sharded``) entry points."""
 
-    Args mirror ``HJIPDE_solve(data0, tau, schemeData, compMethod,
-    extraArgs)``: ``obstacles``/``targets`` may be a single grid-shaped array
-    (static) or a ``(len(tau), *grid.shape)`` stack (time-varying).  The
-    'zero' comp method routes through ``cfg.restrict_update`` like the
-    reference's ``termRestrictUpdate`` wrapper (``hji_solver.py:438-442``).
-    """
+    cfg: SchemeConfig
+    tau: jnp.ndarray
+    v0: jnp.ndarray
+    obstacles: jnp.ndarray | None
+    targets: jnp.ndarray | None
+    obstacles_tv: bool
+    targets_tv: bool
+    gamma: jnp.ndarray
+    stop_state: jnp.ndarray | None
+    stop_set: jnp.ndarray | None
+    stop_set_mode: str | None
+    stop_level: jnp.ndarray
+    noise_sigma: jnp.ndarray | None
+    use_precomputed: bool
+
+
+def _prep_operands(grid, system, v0, tau, cfg, comp_method, obstacles,
+                   targets, discount_factor, discount_mode, stop_init,
+                   stop_set_include, stop_set_intersect, stop_level,
+                   noise_stddev) -> _Operands:
+    """Validation + operand normalization for every solve entry point
+    (mirrors the reference's extraArgs parsing, ``hji_solver.py:189-266,
+    450-471,601-644``)."""
     if comp_method not in _COMP_METHODS:
         raise ValueError(f"unknown comp_method {comp_method!r}")
     if system.n_states != grid.ndim:
@@ -397,9 +424,16 @@ def solve(
         cfg = dataclasses.replace(cfg, restrict_update="min")
     if comp_method in ("minVWithL", "maxVWithL") and targets is None:
         raise ValueError(f"{comp_method} requires targets (l(x))")
-    if discount_factor is not None and discount_mode == "Kene" \
-            and targets is None:
-        raise ValueError("Kene discounting requires targets")
+    if discount_factor is not None and discount_mode == "Kene":
+        # the reference errors on unsupported combinations
+        # (hji_solver.py:613-638) — silently rerouting the comp method
+        # would return wrong answers without warning
+        if targets is None:
+            raise ValueError("Kene discounting requires targets")
+        if comp_method not in ("minVWithL", "maxVWithL"):
+            raise ValueError(
+                "Kene discounting supports only minVWithL/maxVWithL "
+                f"comp methods (got {comp_method!r})")
 
     obstacles_tv = obstacles is not None and obstacles.ndim == nd + 1
     targets_tv = targets is not None and targets.ndim == nd + 1
@@ -413,7 +447,6 @@ def solve(
     if targets is not None:
         targets = targets.astype(v0.dtype)
 
-    xs = grid.mesh_broadcastable(v0.dtype)
     use_precomputed = (
         system.alpha_time_invariant and cfg.dissipation == "global"
     )
@@ -450,6 +483,55 @@ def solve(
                 f"noise_stddev must have leading dim {nd}, got "
                 f"{noise_sigma.shape}")
 
+    return _Operands(
+        cfg=cfg, tau=tau, v0=v0, obstacles=obstacles, targets=targets,
+        obstacles_tv=obstacles_tv, targets_tv=targets_tv, gamma=gamma,
+        stop_state=stop_state, stop_set=stop_set,
+        stop_set_mode=stop_set_mode,
+        stop_level=jnp.asarray(stop_level, v0.dtype),
+        noise_sigma=noise_sigma, use_precomputed=use_precomputed)
+
+
+def solve(
+    grid: Grid,
+    system: System,
+    v0: jnp.ndarray,
+    tau,
+    cfg: SchemeConfig = SchemeConfig(),
+    comp_method: str = "minVOverTime",
+    obstacles: jnp.ndarray | None = None,
+    targets: jnp.ndarray | None = None,
+    discount_factor: float | None = None,
+    discount_mode: str = "Jaime",
+    stop_init: jnp.ndarray | None = None,
+    stop_set_include: jnp.ndarray | None = None,
+    stop_set_intersect: jnp.ndarray | None = None,
+    stop_level: float = 0.0,
+    noise_stddev: jnp.ndarray | None = None,
+    converge_threshold: float | None = None,
+    ignore_boundary: bool = False,
+    save_all: bool = True,
+    record_ttr: bool = False,
+    progress: bool = False,
+    nan_guard: bool = True,
+) -> SolveResult:
+    """Solve the HJI PDE over checkpoint times ``tau`` on a single device.
+
+    Args mirror ``HJIPDE_solve(data0, tau, schemeData, compMethod,
+    extraArgs)``: ``obstacles``/``targets`` may be a single grid-shaped array
+    (static) or a ``(len(tau), *grid.shape)`` stack (time-varying).  The
+    'zero' comp method routes through ``cfg.restrict_update`` like the
+    reference's ``termRestrictUpdate`` wrapper (``hji_solver.py:438-442``).
+    ``nan_guard`` freezes the state and records ``nan_index`` if an interval
+    produces non-finite values (the reference raised, hji_solver.py:544).
+    """
+    op = _prep_operands(grid, system, v0, tau, cfg, comp_method, obstacles,
+                        targets, discount_factor, discount_mode, stop_init,
+                        stop_set_include, stop_set_intersect, stop_level,
+                        noise_stddev)
+    cfg = op.cfg
+    xs = grid.mesh_broadcastable(op.v0.dtype)
+
     # Batched (vmapped) solves must not route through the Pallas kernels:
     # pjit batches the traced jaxpr directly, so kernel branches can't
     # detect vmap from inside the jit — and Mosaic rejects the batched
@@ -459,18 +541,20 @@ def solve(
     # (cache-keyed) config.
     from .terms import _batched
 
-    if cfg.use_pallas and _batched(system, v0, tau, obstacles, targets,
-                                   stop_state):
+    if cfg.use_pallas and _batched(system, op.v0, op.tau, op.obstacles,
+                                   op.targets, op.stop_state):
         cfg = dataclasses.replace(cfg, use_pallas=False)
 
     run = _cached_run(
-        grid, cfg, comp_method, obstacles_tv, targets_tv, discount_mode,
-        discount_factor is not None, converge_threshold, ignore_boundary,
-        save_all, use_precomputed, record_ttr, progress,
-        stop_set_mode=stop_set_mode, has_noise=noise_sigma is not None,
+        grid, cfg, comp_method, op.obstacles_tv, op.targets_tv,
+        discount_mode, discount_factor is not None, converge_threshold,
+        ignore_boundary, save_all, op.use_precomputed, record_ttr, progress,
+        stop_set_mode=op.stop_set_mode,
+        has_noise=op.noise_sigma is not None, nan_guard=nan_guard,
     )
-    values, changes, stop_index, steps, ttr = run(
-        system, v0, tau, xs, obstacles, targets, gamma, stop_state,
-        stop_set, jnp.asarray(stop_level, v0.dtype), noise_sigma)
-    return SolveResult(values=values, tau=tau, changes=changes,
-                       stop_index=stop_index, steps=steps, ttr=ttr)
+    values, changes, stop_index, steps, ttr, nan_index = run(
+        system, op.v0, op.tau, xs, op.obstacles, op.targets, op.gamma,
+        op.stop_state, op.stop_set, op.stop_level, op.noise_sigma)
+    return SolveResult(values=values, tau=op.tau, changes=changes,
+                       stop_index=stop_index, steps=steps, ttr=ttr,
+                       nan_index=nan_index)

@@ -87,12 +87,10 @@ class SchemeConfig:
     #: route the RHS through the fused Pallas slab kernel when eligible
     #: (3-D grid, WENO5, precomputed alphas, transverse planes fit VMEM —
     #: see kernels/weno3d.py).  Ineligible configs fall back silently.
+    #: (A packed-lane layout variant was A/B-tested 2026-08-19 and removed:
+    #: its strided lane rotations cost more than the ~14% junk lanes they
+    #: eliminated — 0.433 vs 0.302 ms/step on v5e at 101^3.)
     use_pallas: bool = False
-    #: fused RK-step kernel layout: 'aligned' keeps (x+6, yp, zp) planes
-    #: (kernels/hjstep.py); 'packed' folds the ghost-padded (y, z) plane
-    #: into one lane axis (kernels/hjstep_packed.py) — less lane-padding
-    #: junk compute for grids far from a 128 lane multiple.
-    pallas_layout: str = "aligned"
 
     def deriv(self):
         return upwind_fn(self.accuracy)[0]
@@ -147,11 +145,22 @@ def _batched(*trees) -> bool:
     """True when any leaf is a vmap batch tracer.  Mosaic rejects the
     batched small SMEM operands a vmapped pallas_call produces (the
     auto-added block specs violate lane/sublane tiling), so batched solves
-    fall back to the XLA path — which vmaps natively."""
-    from jax._src.interpreters.batching import BatchTracer
+    fall back to the XLA path — which vmaps natively.
 
-    return any(isinstance(l, BatchTracer)
-               for t in trees for l in jax.tree.leaves(t))
+    Detection goes through the public ``jax.interpreters.batching`` module
+    (no ``jax._src`` imports), with a name-based fallback should the
+    re-export ever move."""
+    try:
+        from jax.interpreters.batching import BatchTracer
+
+        def is_batch(leaf):
+            return isinstance(leaf, BatchTracer)
+    except ImportError:  # pragma: no cover - future-jax fallback
+        def is_batch(leaf):
+            return (isinstance(leaf, jax.core.Tracer)
+                    and type(leaf).__name__ == "BatchTracer")
+
+    return any(is_batch(l) for t in trees for l in jax.tree.leaves(t))
 
 
 def pallas_eligible(grid: Grid, cfg: "SchemeConfig", *trees) -> bool:
@@ -220,6 +229,8 @@ def hj_rhs(
     xs: Sequence,
     alpha_bounds: AlphaBounds | None = None,
     ops: GridOps | None = None,
+    pallas_grid: Grid | None = None,
+    pallas_origin=None,
 ):
     """Spatial RHS of ``V_t = -(H - diss)`` plus the CFL step bound.
 
@@ -230,32 +241,41 @@ def hj_rhs(
     switches between local and sharded padding/reductions (see
     :class:`GridOps`); ``v`` may be a local shard — only ``v.shape`` is used
     for stencil extents.
+
+    Sharded execution (inside ``shard_map``): pass ``pallas_grid`` = the
+    LOCAL block grid (same lo/dx, local shape) and ``pallas_origin`` = the
+    shard's global start index per axis (traced) so the fused Pallas kernel
+    runs on the local block with correct global coordinates.  The XLA path
+    never needs either — its shapes come from ``v`` and its coordinates
+    from ``xs``.
     """
     nd = grid.ndim
     if ops is None:
         ops = local_ops(grid)
+    pgrid = pallas_grid if pallas_grid is not None else grid
 
-    if alpha_bounds is not None and pallas_eligible(grid, cfg, v, system):
+    if alpha_bounds is not None and pallas_eligible(pgrid, cfg, v, system):
         from .kernels.weno3d import (fused_hj_rhs_3d, system_closures,
                                      widen_alphas)
 
         v_pad = v
         for axis in range(3):
             v_pad = ops.pad(v_pad, axis, 3)
-        eps = pallas_epsilon(grid, cfg, v_pad, ops)
+        eps = pallas_epsilon(pgrid, cfg, v_pad, ops)
 
         # System parameters may be tracers (vmapped sweeps, jit args);
         # pallas kernels cannot capture traced closures, so the system
         # travels as a flattened SMEM vector and is rebuilt in-kernel.
-        flat_params, ham_fn, _ = system_closures(grid, system, v.dtype)
+        flat_params, ham_fn, _ = system_closures(pgrid, system, v.dtype)
 
         alphas_w = (alpha_bounds.widened
                     if alpha_bounds.widened is not None
-                    else widen_alphas(grid, alpha_bounds.alphas, v.dtype))
+                    else widen_alphas(pgrid, alpha_bounds.alphas, v.dtype))
         inv_eps = (1.0 / eps if cfg.epsilon_method == "maxOverGrid"
                    else None)
-        v_dot = fused_hj_rhs_3d(grid, ham_fn, v_pad, alphas_w, eps, t,
-                                params=flat_params, inv_eps=inv_eps)
+        v_dot = fused_hj_rhs_3d(pgrid, ham_fn, v_pad, alphas_w, eps, t,
+                                params=flat_params, inv_eps=inv_eps,
+                                origin=pallas_origin)
         if cfg.restrict_update == "min":
             v_dot = jnp.minimum(v_dot, 0.0)
         elif cfg.restrict_update == "max":

@@ -105,20 +105,18 @@ def test_fallback_when_too_large(interpret_pallas):
     assert not fits_vmem(big)
 
 
-@pytest.mark.parametrize("layout", ["aligned", "packed"])
 @pytest.mark.parametrize("rk_order", [2, 3])
-def test_fused_step_solve_matches_xla(interpret_pallas, rk_order, layout):
+def test_fused_step_solve_matches_xla(interpret_pallas, rk_order):
     """Full solve through the fused RK-substep kernel (kernels/hjstep.py
-    aligned persistent layout / kernels/hjstep_packed.py packed lane
-    layout — in-kernel ghost fill + comp fusion) must match the XLA-path
-    solve."""
+    persistent aligned layout — in-kernel ghost fill + comp fusion) must
+    match the XLA-path solve."""
     from levelsetpy_tpu import solve
 
     grid, v, system, xs, ops, ab = setup((24, 20, 16))
     tau = jnp.linspace(0.0, 0.2, 3)
     cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=rk_order)
     cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=rk_order,
-                         use_pallas=True, pallas_layout=layout)
+                         use_pallas=True)
     r1 = solve(grid, system, v, tau, cfg=cfg_x, comp_method="minVOverTime")
     r2 = solve(grid, system, v, tau, cfg=cfg_p, comp_method="minVOverTime")
     scale = float(jnp.max(jnp.abs(r1.values)))
@@ -127,8 +125,7 @@ def test_fused_step_solve_matches_xla(interpret_pallas, rk_order, layout):
     assert int(r1.steps) == int(r2.steps)
 
 
-@pytest.mark.parametrize("layout", ["aligned", "packed"])
-def test_fused_step_ttr_and_extrapolate_z(interpret_pallas, layout):
+def test_fused_step_ttr_and_extrapolate_z(interpret_pallas):
     """Fused path with a non-periodic lane axis (extrapolate ghost fill via
     masked lane reductions / strided rotations) and time-to-reach
     recording."""
@@ -142,8 +139,7 @@ def test_fused_step_ttr_and_extrapolate_z(interpret_pallas, layout):
     system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
     tau = jnp.array([0.0, 0.2])
     cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
-    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True,
-                         pallas_layout=layout)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
     r1 = solve(grid, system, v, tau, cfg=cfg_x, record_ttr=True)
     r2 = solve(grid, system, v, tau, cfg=cfg_p, record_ttr=True)
     scale = float(jnp.max(jnp.abs(r1.values)))

@@ -336,3 +336,36 @@ class TestVectorLevelSets:
         joint = jax.jit(lambda v: integrate(rhs_pair, 0.0, (v, v), 0.1,
                                             rk_order=2))(phi0)
         assert int(joint.steps) >= int(alone.steps)
+
+
+class TestRobustness:
+    def test_nan_guard_freezes_and_flags(self):
+        """A CFL-violating factor blows the scheme up (f32 overflows to inf
+        within a few checkpoints); the guard must freeze the state at the
+        last finite slice and report the interval."""
+        g, sys, _ = di_setup(41)
+        phi0 = sphere(g, center=[0.0, 0.0], radius=0.1, dtype=jnp.float32)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 50.0, 6),
+                    comp_method="none",
+                    cfg=SchemeConfig(accuracy="first", rk_order=1,
+                                     factor_cfl=50.0))
+        ni = int(res.nan_index)
+        assert ni >= 0, "instability not detected"
+        v = np.asarray(res.values)
+        # every stored slice is finite (the guard froze before the blowup
+        # slice was committed) and later slices repeat the frozen state
+        assert np.isfinite(v).all()
+        np.testing.assert_allclose(v[-1], v[ni])
+
+    def test_nan_guard_clean_solve_reports_none(self):
+        g, sys, phi0 = di_setup(31)
+        res = solve(g, sys, phi0, tau=jnp.linspace(0.0, 0.2, 3),
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        assert int(res.nan_index) == -1
+
+    def test_kene_rejects_unsupported_comp(self):
+        g, sys, phi0 = di_setup(21)
+        with pytest.raises(ValueError, match="Kene"):
+            solve(g, sys, phi0, tau=jnp.array([0.0, 0.1]),
+                  discount_factor=0.9, discount_mode="Kene",
+                  comp_method="minVOverTime", targets=phi0)

@@ -76,3 +76,23 @@ class TestCheckpoint:
         part2 = solve(g, sys_, jnp.asarray(state["v"]), tau2, cfg=cfg)
         np.testing.assert_allclose(part2.values[-1], full.values[-1],
                                    atol=1e-10)
+
+    def test_roundtrip_without_like(self, tmp_path):
+        """npz checkpoints must restore the exact pytree structure with NO
+        template (the treedef is pickled into the archive)."""
+        tree = {"v": jnp.arange(12.0).reshape(3, 4),
+                "cfg": (jnp.float64(0.8), jnp.int32(3))}
+        save_checkpoint(tmp_path / "ckpt", tree, metadata={"k": 1},
+                        format="npz")
+        back = load_checkpoint(tmp_path / "ckpt")
+        assert isinstance(back, dict) and set(back) == {"v", "cfg"}
+        np.testing.assert_allclose(back["v"], tree["v"])
+        np.testing.assert_allclose(back["cfg"][0], 0.8)
+        from levelsetpy_tpu.checkpoint import load_metadata
+        assert load_metadata(tmp_path / "ckpt") == {"k": 1}
+
+    def test_unknown_format_rejected(self, tmp_path):
+        import pytest
+        with pytest.raises(ValueError, match="format"):
+            save_checkpoint(tmp_path / "c", {"v": jnp.zeros(2)},
+                            format="hdf5")
