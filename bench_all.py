@@ -221,7 +221,11 @@ def bench_replanning(n=51, horizon=1.0):
     u, d, v = ctrl.act(plan, state)
     np.asarray(v)
 
-    plan_s = _best_of(lambda: ctrl.plan())
+    def timed_plan():
+        p = ctrl.plan()
+        np.asarray(p.gradients[-1, 0, 0, 0])  # fetch (async dispatch)
+
+    plan_s = _best_of(timed_plan)
 
     def act():
         np.asarray(ctrl.act(plan, state)[2])

@@ -97,6 +97,7 @@ def integrate(
     rk_order: int = 3,
     max_step: float = float("inf"),
     post_step: Callable | None = None,
+    terminal_event: Callable | None = None,
 ) -> IntegrateResult:
     """Integrate ``v' = rhs(t, v)`` from ``t0`` to ``t1`` with CFL substeps —
     the jit-native equivalent of one ``odeCFLn(schemeFunc, [t0,t1], ...)``
@@ -110,14 +111,24 @@ def integrate(
     ``v0`` may be ANY pytree of arrays (vector level sets, ref
     ``ode_cfl_3.py:104-136``): ``rhs`` must return a matching pytree of
     derivatives plus ONE shared scalar step bound.
+
+    ``terminal_event(t, v) -> scalar``: integration stops early when the
+    event value's SIGN differs from its initial sign (the reference's
+    ``terminalEvent`` hook, ``ode_cfl_3.py:255-261``; generic — the solver's
+    stopInit/stopSet/stopConverge cover the HJI-specific uses).
     """
     dtype = jax.tree.leaves(v0)[0].dtype
     t0 = jnp.asarray(t0, dtype=jnp.result_type(dtype))
     small = 100.0 * jnp.finfo(dtype).eps * jnp.abs(t1)
+    ev0 = (jnp.sign(terminal_event(t0, v0))
+           if terminal_event is not None else jnp.zeros(()))
 
     def cond(carry):
-        t, _, _ = carry
-        return t < t1 - small
+        t, v, _ = carry
+        run = t < t1 - small
+        if terminal_event is not None:
+            run = run & (jnp.sign(terminal_event(t, v)) == ev0)
+        return run
 
     def body(carry):
         t, v, n = carry

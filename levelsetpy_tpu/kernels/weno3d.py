@@ -88,6 +88,7 @@ def system_closures(grid: Grid, system, dtype):
         ``alpha_time_invariant`` systems (costate box ignored).
     """
     flat_params, rebuild = flatten_system(system, dtype)
+    nd = grid.ndim
 
     def coords_at(starts, shape):
         # Broadcastable singleton-shaped coords (like grid.mesh_broadcastable)
@@ -95,8 +96,8 @@ def system_closures(grid: Grid, system, dtype):
         # values instead of the full block — the VPU cost of the Hamiltonian
         # and the dissipation bounds collapses to the broadcasting multiplies.
         out = []
-        for ax in range(3):
-            shp = [1, 1, 1]
+        for ax in range(nd):
+            shp = [1] * nd
             shp[ax] = shape[ax]
             idx = jax.lax.broadcasted_iota(jnp.int32, tuple(shp), ax) \
                 + starts[ax]

@@ -181,7 +181,35 @@ def solve_sharded(
                         targets, discount_factor, discount_mode, stop_init,
                         stop_set_include, stop_set_intersect, stop_level,
                         noise_stddev)
-    cfg = op.cfg
+    run = _sharded_run(
+        grid, op.cfg, comp_method, tuple(sorted(shard_axes.items())), mesh,
+        op.obstacles_tv, op.targets_tv,
+        op.obstacles is not None, op.targets is not None,
+        op.stop_set is not None, discount_mode,
+        discount_factor is not None, converge_threshold, ignore_boundary,
+        save_all, op.use_precomputed, record_ttr, nan_guard,
+        op.stop_set_mode)
+    extra_args = [a for a in (op.obstacles, op.targets) if a is not None]
+    out = run(system, op.v0, op.tau, op.gamma, op.stop_state, op.stop_set,
+              op.stop_level, op.noise_sigma, *extra_args)
+    values, changes, stop_index, steps, nan_index = out[:5]
+    ttr = out[5] if record_ttr else None
+    return SolveResult(values=values, tau=op.tau, changes=changes,
+                       stop_index=stop_index, steps=steps, ttr=ttr,
+                       nan_index=nan_index)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_run(grid, cfg, comp_method, shard_items, mesh, obstacles_tv,
+                 targets_tv, has_obstacles, has_targets, has_stop_set,
+                 discount_mode, has_discount, converge_threshold,
+                 ignore_boundary, save_all, use_precomputed, record_ttr,
+                 nan_guard, stop_set_mode):
+    """Jitted sharded-solver entry, memoized on every static knob (the
+    sharded analog of ``solver._cached_run``) so repeated ``solve_sharded``
+    calls reuse the shard_map trace and executable instead of rebuilding
+    and recompiling the program per call."""
+    shard_axes = dict(shard_items)
     nd = grid.ndim
     mesh_axes = tuple(mesh.axis_names)
     lgrid = local_grid(grid, shard_axes, mesh)
@@ -202,8 +230,8 @@ def solve_sharded(
     def body(system, v0_local, tau, gamma, stop_state, stop_set_local,
              stop_level, noise_sigma, *rest):
         rest = list(rest)
-        obs_local = rest.pop(0) if op.obstacles is not None else None
-        tgt_local = rest.pop(0) if op.targets is not None else None
+        obs_local = rest.pop(0) if has_obstacles else None
+        tgt_local = rest.pop(0) if has_targets else None
         ops = shard_ops(grid, shard_axes, mesh_axes)
         xs = local_coords(grid, shard_axes, v0_local.dtype)
         origin = tuple(
@@ -238,16 +266,16 @@ def solve_sharded(
         out = _solve_core(
             grid=grid, cfg=cfg, comp_method=comp_method, system=system,
             v0=v0_local, tau=tau, xs=xs, ops=ops,
-            obstacles=obs_local, obstacles_tv=op.obstacles_tv,
-            targets=tgt_local, targets_tv=op.targets_tv,
+            obstacles=obs_local, obstacles_tv=obstacles_tv,
+            targets=tgt_local, targets_tv=targets_tv,
             gamma=gamma, discount_mode=discount_mode,
-            has_discount=discount_factor is not None,
+            has_discount=has_discount,
             stop_state=stop_state, stop_set=stop_set_local,
-            stop_set_mode=op.stop_set_mode, stop_level=stop_level,
+            stop_set_mode=stop_set_mode, stop_level=stop_level,
             noise_sigma=noise_sigma,
             converge_threshold=converge_threshold,
             trim=trim, save_all=save_all,
-            use_precomputed=op.use_precomputed,
+            use_precomputed=use_precomputed,
             record_ttr=record_ttr, nan_guard=nan_guard,
             pallas_grid=lgrid, pallas_origin=origin, eval_fn=eval_fn,
         )
@@ -256,13 +284,11 @@ def solve_sharded(
             return values, changes, stop_index, steps, nan_index, ttr
         return values, changes, stop_index, steps, nan_index
 
-    extra_args, extra_specs = [], []
-    if op.obstacles is not None:
-        extra_args.append(op.obstacles)
-        extra_specs.append(grid_spec_t if op.obstacles_tv else grid_spec)
-    if op.targets is not None:
-        extra_args.append(op.targets)
-        extra_specs.append(grid_spec_t if op.targets_tv else grid_spec)
+    extra_specs = []
+    if has_obstacles:
+        extra_specs.append(grid_spec_t if obstacles_tv else grid_spec)
+    if has_targets:
+        extra_specs.append(grid_spec_t if targets_tv else grid_spec)
 
     out_specs = (grid_spec_t, P(), P(), P(), P())
     if record_ttr:
@@ -272,17 +298,10 @@ def solve_sharded(
         body,
         mesh=mesh,
         in_specs=(P(), grid_spec, P(), P(), P(),
-                  grid_spec if op.stop_set is not None else P(),
+                  grid_spec if has_stop_set else P(),
                   P(), P(), *extra_specs),
         out_specs=out_specs,
         check_vma=False,
     )
 
-    run = jax.jit(mapped)
-    out = run(system, op.v0, op.tau, op.gamma, op.stop_state, op.stop_set,
-              op.stop_level, op.noise_sigma, *extra_args)
-    values, changes, stop_index, steps, nan_index = out[:5]
-    ttr = out[5] if record_ttr else None
-    return SolveResult(values=values, tau=op.tau, changes=changes,
-                       stop_index=stop_index, steps=steps, ttr=ttr,
-                       nan_index=nan_index)
+    return jax.jit(mapped)

@@ -137,6 +137,7 @@ def _solve_core(
     # the (also Pallas-accelerated) hj_rhs path below.
     use_fused_step = (
         allow_fused and alpha_bounds is not None
+        and grid.ndim == 3   # the persistent-layout RK kernel is 3-D only
         and pallas_eligible(grid, cfg, v0, system)
         and comp_method in ("none", "set", "zero",
                             "minVOverTime", "maxVOverTime")
@@ -148,12 +149,12 @@ def _solve_core(
 
     if (alpha_bounds is not None and pallas_eligible(pgrid, cfg, v0, system)
             and not use_fused_step):
-        # widen once per solve, not once per RK substep (3 full-grid pads)
-        from .kernels.weno3d import widen_alphas
+        # widen once per solve, not once per RK substep (ndim full-grid pads)
+        from .terms import widen_alphas_any
 
         alpha_bounds = dataclasses.replace(
             alpha_bounds,
-            widened=widen_alphas(pgrid, alpha_bounds.alphas, v0.dtype))
+            widened=widen_alphas_any(pgrid, alpha_bounds.alphas, v0.dtype))
 
     def rhs(t, v):
         return hj_rhs(grid, cfg, system, t, v, xs, alpha_bounds, ops,

@@ -78,6 +78,16 @@ class System:
     #: True when ``alpha`` depends only on grid coordinates — enables
     #: precomputing dissipation bounds + CFL dt once per solve.
     alpha_time_invariant: bool = False
+    #: MIE (mixed implicit-explicit) formulation (ref ``generic_ham.py:
+    #: 23-43,57-59``): 'lower'/'upper' adds the time-invariant dimension's
+    #: dynamics (:meth:`ti_dynamics`) with sign -1/+1 and negates the upper
+    #: side's Hamiltonian; None (default) disables the branch.
+    mie_side: str | None = None
+    #: Fixed control/disturbance overrides (ref ``schemeData.uIn/dIn``,
+    #: ``generic_ham.py:24-32``): tuples used verbatim instead of the
+    #: optimal policies when set.
+    u_fixed: tuple | None = None
+    d_fixed: tuple | None = None
 
     # -------------------------------------------------------------- dynamics
     def dynamics(self, t, x: Sequence, u, d) -> tuple:
@@ -93,16 +103,34 @@ class System:
         """argmin/argmax_d p . f(x,u,d) (ref ``get_opt_v``)."""
         return ()
 
+    def ti_dynamics(self, t, x: Sequence, u, d):
+        """Dynamics of the MIE time-invariant dimension (ref
+        ``dynSys.TIdyn``, ``generic_ham.py:49-51``); override together with
+        ``mie_side``."""
+        raise NotImplementedError(
+            "mie_side is set but ti_dynamics is not implemented")
+
     # ----------------------------------------------------------- hamiltonian
     def hamiltonian(self, t, x: Sequence, p: Sequence) -> jnp.ndarray:
         """H(t, x, p).  Default: generic optimal-control Hamiltonian — plug
         the optimal u and d into the dynamics, contract with the costate,
-        negate for backward reachability (``generic_ham.py:44-55``)."""
-        u = self.opt_control(t, x, p, self.u_mode)
-        d = self.opt_disturbance(t, x, p, self.d_mode)
+        negate for backward reachability (``generic_ham.py:44-55``); MIE
+        side/TI-dim handling per ``generic_ham.py:35-43,49-51,57-59``."""
+        u = self.u_fixed if self.u_fixed is not None \
+            else self.opt_control(t, x, p, self.u_mode)
+        d = self.d_fixed if self.d_fixed is not None \
+            else self.opt_disturbance(t, x, p, self.d_mode)
         f = self.dynamics(t, x, u, d)
         ham = sum(pi * fi for pi, fi in zip(p, f))
+        if self.mie_side is not None:
+            if self.mie_side not in ("lower", "upper"):
+                raise ValueError(
+                    "Side of an MIE function must be upper or lower!")
+            ti_sign = -1.0 if self.mie_side == "lower" else 1.0
+            ham = ham + ti_sign * self.ti_dynamics(t, x, u, d)
         if self.t_mode == "backward":
+            ham = -ham
+        if self.mie_side == "upper":
             ham = -ham
         return ham
 

@@ -110,25 +110,26 @@ class AlphaBounds:
 
 
 def pallas_epsilon(grid: Grid, cfg, v_pad, ops) -> jnp.ndarray:
-    """Per-axis WENO epsilon for the fused kernels, shape ``(3,)``.
+    """Per-axis WENO epsilon for the fused kernels, shape ``(ndim,)``.
 
     maxOverGrid reproduces the reference semantics
     (``upwind_first_weno5a.py:153-155``): 1e-6 * max(D1^2) over the
     one-ghost-layer D1 table per axis.  Padding is per-axis independent, so
     slicing the existing width-3 padded array down to one ghost layer along
     ``axis`` (and none elsewhere) reproduces ``pad(v, axis, 1)`` exactly —
-    no extra pad kernels.  Works on both the tight ``(x+6, y+6, z+6)``
-    layout and the lane-aligned layout (trailing junk is never sliced).
+    no extra pad kernels.  Works on both the tight width-3-padded layout
+    and the lane-aligned layout (trailing junk is never sliced).
     """
+    nd = grid.ndim
     dtype = v_pad.dtype
     if cfg.epsilon_method == "constant":
-        return jnp.full((3,), 1e-6, dtype)
+        return jnp.full((nd,), 1e-6, dtype)
     import math as _math
 
     floor = _math.sqrt(float(jnp.finfo(dtype).tiny))
     parts = []
-    for axis in range(3):
-        starts = [3, 3, 3]
+    for axis in range(nd):
+        starts = [3] * nd
         limits = [3 + s for s in grid.shape]
         starts[axis] -= 1
         limits[axis] += 1
@@ -164,10 +165,11 @@ def _batched(*trees) -> bool:
 
 
 def pallas_eligible(grid: Grid, cfg: "SchemeConfig", *trees) -> bool:
-    """True when ``hj_rhs`` will route through the fused Pallas kernel.
-    Pass the traced operands (state, system) as ``trees`` so vmapped
-    calls are detected and routed to the XLA path."""
-    if not (cfg.use_pallas and grid.ndim == 3
+    """True when ``hj_rhs`` will route through a fused Pallas kernel
+    (3-D slab kernel or 2-D plane kernel).  Pass the traced operands
+    (state, system) as ``trees`` so vmapped calls are detected and routed
+    to the XLA path."""
+    if not (cfg.use_pallas and grid.ndim in (2, 3)
             and cfg.accuracy in ("veryHigh", "weno5")
             and cfg.dissipation == "global"
             # maxOverNeighbors eps is per-node — not in the kernel (yet)
@@ -175,8 +177,22 @@ def pallas_eligible(grid: Grid, cfg: "SchemeConfig", *trees) -> bool:
         return False
     if _batched(*trees):
         return False
+    if grid.ndim == 2:
+        from .kernels.weno2d import fits_vmem_2d
+        return fits_vmem_2d(grid)
     from .kernels.weno3d import fits_vmem
     return fits_vmem(grid)
+
+
+def widen_alphas_any(grid: Grid, alphas: tuple, dtype) -> tuple:
+    """Pre-widen dissipation bounds to the fused kernel's aligned layout
+    for this grid's dimensionality (see ``weno3d.widen_alphas`` /
+    ``weno2d.widen_alphas_2d``)."""
+    if grid.ndim == 2:
+        from .kernels.weno2d import widen_alphas_2d
+        return widen_alphas_2d(grid, alphas, dtype)
+    from .kernels.weno3d import widen_alphas
+    return widen_alphas(grid, alphas, dtype)
 
 
 def precompute_alpha(
@@ -255,11 +271,10 @@ def hj_rhs(
     pgrid = pallas_grid if pallas_grid is not None else grid
 
     if alpha_bounds is not None and pallas_eligible(pgrid, cfg, v, system):
-        from .kernels.weno3d import (fused_hj_rhs_3d, system_closures,
-                                     widen_alphas)
+        from .kernels.weno3d import system_closures
 
         v_pad = v
-        for axis in range(3):
+        for axis in range(nd):
             v_pad = ops.pad(v_pad, axis, 3)
         eps = pallas_epsilon(pgrid, cfg, v_pad, ops)
 
@@ -270,12 +285,22 @@ def hj_rhs(
 
         alphas_w = (alpha_bounds.widened
                     if alpha_bounds.widened is not None
-                    else widen_alphas(pgrid, alpha_bounds.alphas, v.dtype))
+                    else widen_alphas_any(pgrid, alpha_bounds.alphas,
+                                          v.dtype))
         inv_eps = (1.0 / eps if cfg.epsilon_method == "maxOverGrid"
                    else None)
-        v_dot = fused_hj_rhs_3d(pgrid, ham_fn, v_pad, alphas_w, eps, t,
-                                params=flat_params, inv_eps=inv_eps,
-                                origin=pallas_origin)
+        if nd == 2:
+            from .kernels.weno2d import fused_hj_rhs_2d
+
+            v_dot = fused_hj_rhs_2d(pgrid, ham_fn, v_pad, alphas_w, eps, t,
+                                    params=flat_params, inv_eps=inv_eps,
+                                    origin=pallas_origin)
+        else:
+            from .kernels.weno3d import fused_hj_rhs_3d
+
+            v_dot = fused_hj_rhs_3d(pgrid, ham_fn, v_pad, alphas_w, eps, t,
+                                    params=flat_params, inv_eps=inv_eps,
+                                    origin=pallas_origin)
         if cfg.restrict_update == "min":
             v_dot = jnp.minimum(v_dot, 0.0)
         elif cfg.restrict_update == "max":

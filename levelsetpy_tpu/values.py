@@ -58,13 +58,19 @@ def _fractional_indices(grid: Grid, x: jnp.ndarray) -> list:
     return out
 
 
-def eval_u(grid: Grid, values: jnp.ndarray, states: jnp.ndarray) -> jnp.ndarray:
+def eval_u(grid: Grid, values: jnp.ndarray, states: jnp.ndarray,
+           extrapolate: bool = False) -> jnp.ndarray:
     """Multilinear interpolation of ``values`` (grid-shaped) at ``states``
     ``(..., ndim)``; reference ``eval_u``/``eval_u_single``
     (``ValueFuncs/evaluate_u.py:15,86-116``).
 
-    Non-periodic queries are clamped to the domain (matching scipy's behavior
-    with ``bounds_error=False, fill_value=None`` ≈ edge extrapolation clamp).
+    Out-of-domain queries on non-periodic dims: ``extrapolate=False``
+    (default) clamps to the boundary value — safe for set-membership tests
+    (a rollout leaving the domain sticks to the edge value instead of
+    fabricating one).  ``extrapolate=True`` extends the edge cell's linear
+    model, matching the reference's scipy path
+    (``RegularGridInterpolator(..., bounds_error=False, fill_value=None)``,
+    ``evaluate_u.py:45-63``).
     """
     nd = grid.ndim
     fracs = _fractional_indices(grid, states)
@@ -75,7 +81,8 @@ def eval_u(grid: Grid, values: jnp.ndarray, states: jnp.ndarray) -> jnp.ndarray:
             f = fracs[i]
             lo = jnp.floor(f).astype(jnp.int32)
         else:
-            f = jnp.clip(fracs[i], 0.0, grid.shape[i] - 1)
+            f = fracs[i] if extrapolate \
+                else jnp.clip(fracs[i], 0.0, grid.shape[i] - 1)
             lo = jnp.clip(jnp.floor(f), 0, grid.shape[i] - 2).astype(jnp.int32)
         idx_lo.append(lo)
         weights.append(f - lo)

@@ -149,3 +149,46 @@ def test_fused_step_ttr_and_extrapolate_z(interpret_pallas):
     np.testing.assert_allclose(np.asarray(r2.ttr)[m], np.asarray(r1.ttr)[m],
                                atol=1e-5)
     assert (np.isfinite(np.asarray(r2.ttr)) == m).all()
+
+
+def setup2d(shape):
+    from levelsetpy_tpu import DoubleIntegrator, sphere
+    from levelsetpy_tpu.terms import local_ops, precompute_alpha
+
+    grid = create_grid([-1.0, -1.0], [1.0, 1.0], shape)
+    xs = grid.mesh_broadcastable(jnp.float32)
+    v = sphere(grid, radius=0.3) \
+        + 0.2 * jnp.sin(3 * xs[0]) * jnp.cos(2 * xs[1])
+    system = DoubleIntegrator(u_max=1.0)
+    ops = local_ops(grid)
+    ab = precompute_alpha(grid, system, xs)
+    return grid, v, system, xs, ops, ab
+
+
+@pytest.mark.parametrize("shape", [(32, 32), (101, 101), (17, 13)])
+def test_fused_kernel_2d_matches_xla(interpret_pallas, shape):
+    """The 2-D plane kernel (kernels/weno2d.py) must match the XLA WENO5
+    path bit-for-bit up to f32 re-association."""
+    grid, v, system, xs, ops, ab = setup2d(shape)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=1)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=1, use_pallas=True)
+    d1, sb1 = hj_rhs(grid, cfg_x, system, 0.0, v, xs, ab, ops)
+    d2, sb2 = hj_rhs(grid, cfg_p, system, 0.0, v, xs, ab, ops)
+    scale = float(jnp.max(jnp.abs(d1)))
+    np.testing.assert_allclose(d2, d1, atol=2e-5 * scale)
+    np.testing.assert_allclose(sb1, sb2, rtol=1e-6)
+
+
+def test_fused_kernel_2d_solve_matches_xla(interpret_pallas):
+    from levelsetpy_tpu import solve
+
+    grid, v, system, xs, ops, ab = setup2d((41, 41))
+    tau = jnp.linspace(0.0, 0.2, 3)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    r1 = solve(grid, system, v, tau, cfg=cfg_x)
+    r2 = solve(grid, system, v, tau, cfg=cfg_p)
+    scale = float(jnp.max(jnp.abs(r1.values)))
+    np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
+                               atol=1e-5 * scale)
+    assert int(r1.steps) == int(r2.steps)

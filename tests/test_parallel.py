@@ -280,3 +280,47 @@ class TestShardedPallas:
                                    np.asarray(r_x.values),
                                    atol=2e-5 * scale)
         assert int(r_p.steps) == int(r_x.steps)
+
+
+class TestHaloAllShards:
+    """Every shard's padded block must equal the corresponding window of a
+    globally padded array (not just shard 0's low ghosts)."""
+
+    @pytest.mark.parametrize("periodic", [True, False])
+    def test_padded_blocks_match_global(self, periodic):
+        from levelsetpy_tpu.boundary import pad_axis
+
+        n, width, shards = 32, 3, 8
+        grid = create_grid([0.0], [1.0], [n],
+                           periodic_dims=[0] if periodic else [])
+        rng = np.random.default_rng(3)
+        data = jnp.asarray(rng.normal(size=(n,)))
+        expect = np.asarray(pad_axis(grid, data, 0, width))
+        mesh = make_mesh({"x": shards})
+
+        def body(local):
+            return pad_axis_sharded(local, 0, width, "x",
+                                    periodic=periodic)
+
+        out = np.asarray(jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=P("x"), out_specs=P("x"),
+            check_vma=False))(data))
+        per = n // shards
+        blocks = out.reshape(shards, per + 2 * width)
+        full = np.concatenate([np.asarray(data)] * 1)
+        for s in range(shards):
+            lo, hi = s * per, (s + 1) * per
+            if s == 0:
+                np.testing.assert_allclose(blocks[s, :width],
+                                           expect[:width])
+            else:
+                np.testing.assert_allclose(blocks[s, :width],
+                                           full[lo - width:lo])
+            np.testing.assert_allclose(blocks[s, width:width + per],
+                                       full[lo:hi])
+            if s == shards - 1:
+                np.testing.assert_allclose(blocks[s, width + per:],
+                                           expect[-width:])
+            else:
+                np.testing.assert_allclose(blocks[s, width + per:],
+                                           full[hi:hi + width])

@@ -369,3 +369,41 @@ class TestRobustness:
             solve(g, sys, phi0, tau=jnp.array([0.0, 0.1]),
                   discount_factor=0.9, discount_mode="Kene",
                   comp_method="minVOverTime", targets=phi0)
+
+
+class TestIntegratorHooks:
+    def test_terminal_event_sign_change_stops(self):
+        """Integration must halt when the event value changes sign (ref
+        odeCFL terminalEvent, ode_cfl_3.py:255-261)."""
+        g, sys, phi0 = di_setup(41)
+        xs = g.mesh_broadcastable(jnp.float64)
+        from levelsetpy_tpu.terms import local_ops, precompute_alpha
+
+        cfg = SchemeConfig(accuracy="eno2", rk_order=2)
+        ab = precompute_alpha(g, sys, xs)
+        rhs = lambda t, v: hj_rhs(g, cfg, sys, t, v, xs, ab, local_ops(g))
+        # event: value at a nearby state crosses zero as the BRT grows
+        probe = jnp.array([0.15, 0.0])
+        from levelsetpy_tpu import eval_u
+
+        event = lambda t, v: eval_u(g, v, probe)
+        full = integrate(rhs, 0.0, phi0, 1.0, rk_order=2)
+        stopped = integrate(rhs, 0.0, phi0, 1.0, rk_order=2,
+                            terminal_event=event)
+        assert int(stopped.steps) < int(full.steps)
+        assert float(stopped.t) < 1.0
+        # the event actually fired: probe value is (just) inside
+        assert float(eval_u(g, stopped.v, probe)) <= 0.0
+
+    def test_eval_u_extrapolate(self):
+        g, sys, phi0 = di_setup(21)
+        from levelsetpy_tpu import eval_u
+
+        # linear field: extrapolation must be exact, clamping must stick
+        xs = g.mesh(jnp.float64)
+        v = 2.0 * xs[0] + 0.5 * xs[1]
+        q = jnp.array([1.5, 0.0])  # outside [-1, 1]
+        clamped = float(eval_u(g, v, q))
+        extr = float(eval_u(g, v, q, extrapolate=True))
+        assert abs(clamped - 2.0) < 1e-9
+        assert abs(extr - 3.0) < 1e-9
