@@ -47,5 +47,6 @@ from .extra_terms import (make_convection_term, make_curvature_term,
                           restrict_update, sum_terms)
 from .checkpoint import (load_checkpoint, load_metadata, resume_tau,
                          save_checkpoint)
+from .ddp import DDPConfig, DDPResult, ddp_minimax, varhji_reach
 
 __version__ = "0.1.0"
