@@ -167,6 +167,49 @@ def bench_sweep(batch=1024, n=31, t_end=0.25):
          solves_per_s=round(batch / wall, 2))
 
 
+def bench_sweep_batchlast(batch=1024, n=31, t_end=0.25, chunk=256):
+    """BASELINE config #3 through ``solve_batch`` (batch-LAST layout): the
+    scenario axis rides the 128-wide lane axis, so the 31-point grid axes
+    never pad vregs — measured 2x+ over ``jax.vmap(solve)`` on v5e.
+    Chunked at 256 scenarios per program call: one monolithic 1024-wide
+    call is HBM-working-set bound (172 solves/s vs 264 at 256, v5e A/B
+    2026-08-20)."""
+    import jax.numpy as jnp
+
+    from levelsetpy_tpu import (DubinsRel, SchemeConfig, create_grid,
+                                cylinder, solve_batch)
+
+    lo, hi = [-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi]
+    grid = create_grid(lo, hi, n, periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], radius=5.0)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    ves = jnp.linspace(3.0, 7.0, batch)
+    ws = jnp.linspace(0.5, 2.0, batch)
+
+    def run(eps=0.0):
+        outs = []
+        for c in range(0, batch, chunk):
+            r = solve_batch(grid,
+                            DubinsRel(v_e=ves[c:c + chunk] + eps, v_p=5.0,
+                                      w_bound=ws[c:c + chunk] + eps),
+                            target, tau, cfg=cfg, save_all=False)
+            outs.append(r.values)
+        np.asarray(jnp.concatenate(outs, axis=-1))
+
+    run()  # compile + warm (several minutes over the tunnel)
+    # perturb parameters per call: identical executions can be served from
+    # a remote result cache (see CLAUDE.md timing methodology)
+    wall = min(_timed(lambda e=e: run(e))
+               for e in (1e-6, 2e-6, 3e-6))
+    vmap_wall = next((r["value"] for r in RECORDS
+                      if r["metric"].startswith("dubins_sweep_1")), None)
+    emit(f"dubins_sweep_batchlast_{batch}x{n}cube_T{t_end}", wall, "s",
+         (vmap_wall / wall) if vmap_wall else 0.0,
+         solves_per_s=round(batch / wall, 2),
+         note="vs_baseline = vmap-layout wall / batch-last wall")
+
+
 def bench_rocket4d_sharded(shape=(48, 48, 24, 24), t_end=0.3):
     import jax.numpy as jnp
 
@@ -287,6 +330,8 @@ def main():
         bench.main()  # prints the headline JSON line itself
     if "sweep" not in args.skip:
         bench_sweep(batch=args.sweep_batch)
+    if "sweep_batchlast" not in args.skip:
+        bench_sweep_batchlast(batch=args.sweep_batch)
     if "rocket4d" not in args.skip:
         bench_rocket4d_sharded()
     if "replanning" not in args.skip:

@@ -32,7 +32,7 @@ from .derivatives import (centered_first, curvature, gradient_norm, hessian,
                           upwind_eno3, upwind_first, upwind_fn, upwind_weno5)
 from .terms import AlphaBounds, SchemeConfig, hj_rhs, precompute_alpha
 from .integration import cfl_step, integrate
-from .solver import SolveResult, solve
+from .solver import SolveResult, solve, solve_batch
 from .values import (compute_gradients, eval_u, optimal_trajectory, proj)
 from .systems.base import System, register_system
 from .systems.double_integrator import (DoubleIntegrator,

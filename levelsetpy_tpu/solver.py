@@ -48,7 +48,7 @@ from .terms import (GridOps, SchemeConfig, hj_rhs, local_ops,
                     pallas_eligible, precompute_alpha)
 from .values import eval_u
 
-__all__ = ["solve", "SolveResult", "SchemeConfig"]
+__all__ = ["solve", "solve_batch", "SolveResult", "SchemeConfig"]
 
 _COMP_METHODS = (
     "none", "set", "zero",
@@ -108,6 +108,7 @@ def _solve_core(
     pallas_origin=None,                # traced per-axis global block starts
     eval_fn: Callable | None = None,   # point query V(state) for stopInit
     nan_guard: bool = True,
+    n_batch: int | None = None,        # batch-LAST mode: v0 is (*grid, B)
 ):
     """The solver loop, written once for every execution mode.
 
@@ -118,6 +119,13 @@ def _solve_core(
     the fused Pallas kernel onto local shard blocks (see ``terms.hj_rhs``);
     ``eval_fn(v, state)`` overrides the stopInit point query (the sharded
     solver evaluates it on the all-gathered global array).
+
+    ``n_batch`` switches on batch-LAST mode (see ``terms.batched_ops``):
+    ``v0`` carries a trailing scenario axis, ``ops`` reductions return
+    per-scenario ``(B,)`` scalars, every element integrates under its OWN
+    CFL dt (finished elements take zero-length steps), and the early-stop /
+    convergence / NaN-freeze machinery masks per element.  The loop
+    structure is unchanged — scalars just become ``(B,)`` vectors.
     """
     n_tau = tau.shape[0]
     small_scale = 100.0 * jnp.finfo(v0.dtype).eps
@@ -136,7 +144,7 @@ def _solve_core(
     # per-step work the kernel covers exactly; everything else falls back to
     # the (also Pallas-accelerated) hj_rhs path below.
     use_fused_step = (
-        allow_fused and alpha_bounds is not None
+        allow_fused and alpha_bounds is not None and n_batch is None
         and grid.ndim == 3   # the persistent-layout RK kernel is 3-D only
         and pallas_eligible(grid, cfg, v0, system)
         and comp_method in ("none", "set", "zero",
@@ -207,6 +215,10 @@ def _solve_core(
     def interval(carry, i):
         v_in, done, steps, ttr_in = carry
         t0 = tau[i]
+        if n_batch is not None:
+            # per-element time carry: elements finish the interval at their
+            # own CFL pace (dt = min(..., t1 - t_i) -> 0 once done)
+            t0 = jnp.broadcast_to(t0, (n_batch,))
         t1 = tau[i + 1]
         small = small_scale * jnp.abs(t1)
         obs_i = None
@@ -220,7 +232,7 @@ def _solve_core(
         def do(v, ttr):
             def cond(c):
                 t, _, _, _ = c
-                return t < t1 - small
+                return jnp.any(t < t1 - small)
 
             if use_fused_step:
                 from .kernels import hjstep
@@ -269,8 +281,14 @@ def _solve_core(
             return v, n, ttr
 
         v_new, n_steps, ttr_new = jax.lax.cond(
-            done, lambda v, ttr: (v, jnp.zeros((), jnp.int32), ttr),
+            jnp.all(done), lambda v, ttr: (v, jnp.zeros((), jnp.int32), ttr),
             do, v_in, ttr_in)
+        if n_batch is not None:
+            # partially-done batches run the interval for everyone (one
+            # program) but frozen elements keep their pre-interval state
+            v_new = jnp.where(done, v_in, v_new)
+            if record_ttr:
+                ttr_new = jnp.where(done, ttr_in, ttr_new)
         change = ops.reduce_max(jnp.abs(trim(v_new) - trim(v_in)))
 
         new_done = done
@@ -312,22 +330,26 @@ def _solve_core(
             jax.debug.callback(
                 lambda tt, ch, ns: print(
                     f"[levelsetpy] t={float(tt):.4f} steps+={int(ns)} "
-                    f"max|dV|={float(ch):.3e}"),
+                    f"max|dV|={float(jnp.max(ch)):.3e}"),
                 t1, change, n_steps, ordered=True)
 
         out = v_new if save_all else None
         return (v_new, new_done, steps + n_steps, ttr_new), \
             (out, change, done, bad)
 
+    done_shape = () if n_batch is None else (n_batch,)
     (v_fin, _, steps, ttr_fin), (vs, changes, was_done, was_bad) = \
         jax.lax.scan(
             interval,
-            (v0, jnp.zeros((), jnp.bool_), jnp.zeros((), jnp.int32), ttr0),
+            (v0, jnp.zeros(done_shape, jnp.bool_),
+             jnp.zeros((), jnp.int32), ttr0),
             jnp.arange(n_tau - 1),
         )
-    stop_index = jnp.where(jnp.any(was_done), jnp.argmax(was_done),
-                           n_tau - 1)
-    nan_index = jnp.where(jnp.any(was_bad), jnp.argmax(was_bad),
+    # axis 0 = time: scalar solves give scalars, batched give per-element
+    stop_index = jnp.where(jnp.any(was_done, axis=0),
+                           jnp.argmax(was_done, axis=0), n_tau - 1)
+    nan_index = jnp.where(jnp.any(was_bad, axis=0),
+                          jnp.argmax(was_bad, axis=0),
                           jnp.int32(-1)).astype(jnp.int32)
     if save_all:
         values = jnp.concatenate([v0[None], vs], axis=0)
@@ -557,5 +579,202 @@ def solve(
         system, op.v0, op.tau, xs, op.obstacles, op.targets, op.gamma,
         op.stop_state, op.stop_set, op.stop_level, op.noise_sigma)
     return SolveResult(values=values, tau=op.tau, changes=changes,
+                       stop_index=stop_index, steps=steps, ttr=ttr,
+                       nan_index=nan_index)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_batch_run(grid, cfg, comp_method, n_batch, discount_mode,
+                      has_discount, converge_threshold, ignore_boundary,
+                      save_all, use_precomputed, record_ttr, progress,
+                      stop_set_mode, has_noise, nan_guard):
+    """Jitted batch-LAST solver entry (see :func:`solve_batch`)."""
+    from .terms import batched_ops
+
+    def trim(v):
+        if not ignore_boundary:
+            return v
+        sl = tuple(
+            slice(4, s - 4) if s > 8 else slice(None) for s in grid.shape
+        )
+        return v[sl]
+
+    def eval_fn(v, state):
+        # per-scenario point query: vmap over the trailing batch axis
+        return jax.vmap(lambda vb: eval_u(grid, vb, state),
+                        in_axes=-1)(v)
+
+    @jax.jit
+    def run(system, v0, tau, xs, obstacles, targets, gamma, stop_state,
+            stop_set, stop_level, noise_sigma):
+        return _solve_core(
+            grid=grid, cfg=cfg, comp_method=comp_method, system=system,
+            v0=v0, tau=tau, xs=xs, ops=batched_ops(grid),
+            obstacles=obstacles, obstacles_tv=False,
+            targets=targets, targets_tv=False,
+            gamma=gamma, discount_mode=discount_mode,
+            has_discount=has_discount,
+            stop_state=stop_state, stop_set=stop_set,
+            stop_set_mode=stop_set_mode, stop_level=stop_level,
+            noise_sigma=noise_sigma if has_noise else None,
+            converge_threshold=converge_threshold,
+            trim=trim, save_all=save_all, use_precomputed=use_precomputed,
+            record_ttr=record_ttr, progress=progress,
+            allow_fused=False, eval_fn=eval_fn, nan_guard=nan_guard,
+            n_batch=n_batch,
+        )
+
+    return run
+
+
+def solve_batch(
+    grid: Grid,
+    system: System,
+    v0: jnp.ndarray,
+    tau,
+    cfg: SchemeConfig = SchemeConfig(),
+    comp_method: str = "minVOverTime",
+    n_batch: int | None = None,
+    obstacles: jnp.ndarray | None = None,
+    targets: jnp.ndarray | None = None,
+    discount_factor=None,
+    discount_mode: str = "Jaime",
+    stop_init: jnp.ndarray | None = None,
+    stop_set_include: jnp.ndarray | None = None,
+    stop_set_intersect: jnp.ndarray | None = None,
+    stop_level: float = 0.0,
+    noise_stddev: jnp.ndarray | None = None,
+    converge_threshold: float | None = None,
+    ignore_boundary: bool = False,
+    save_all: bool = True,
+    record_ttr: bool = False,
+    progress: bool = False,
+    nan_guard: bool = True,
+) -> SolveResult:
+    """Solve a BATCH of HJI problems in one program, batch-LAST layout.
+
+    The TPU-native way to run parameter sweeps (BASELINE config #3, the
+    reference's per-scenario rerun loop): value arrays carry one trailing
+    scenario axis — ``(*grid.shape, B)`` — which lands in the 128-wide
+    vector-lane axis, so a sweep of small grids runs at full lane
+    utilization where ``jax.vmap(solve)``'s batch-first layout leaves the
+    (short) innermost grid axis in the lanes.  Each scenario integrates
+    under its own CFL dt and stops (convergence, stopInit, stopSet, NaN
+    freeze) independently; ``changes``/``stop_index``/``nan_index`` come
+    back per scenario, shape ``(B,)``/``(T-1, B)``.
+
+    Batched inputs: system parameters as ``(B,)`` leaves (they broadcast
+    against the trailing lane axis natively), ``v0`` either shared
+    (``grid.shape``) or per-scenario (``(*grid.shape, B)``), obstacles /
+    targets / stop sets shared or per-scenario, ``discount_factor`` scalar
+    or ``(B,)``.  Time-varying obstacle/target stacks are not supported in
+    batch mode (use ``jax.vmap(solve)``).
+    """
+    if comp_method not in _COMP_METHODS:
+        raise ValueError(f"unknown comp_method {comp_method!r}")
+    if system.n_states != grid.ndim:
+        raise ValueError(
+            f"system has {system.n_states} states but grid has "
+            f"{grid.ndim} dims")
+    nd = grid.ndim
+    v0 = jnp.asarray(v0)
+    if v0.shape[:nd] != grid.shape or v0.ndim not in (nd, nd + 1):
+        raise ValueError(
+            f"v0 shape {v0.shape} must be {grid.shape} or "
+            f"(*{grid.shape}, B)")
+    if n_batch is None:
+        if v0.ndim == nd + 1:
+            n_batch = v0.shape[-1]
+        else:
+            sizes = {l.shape[0] for l in jax.tree.leaves(system)
+                     if hasattr(l, "shape") and getattr(l, "ndim", 0) >= 1}
+            if len(sizes) != 1:
+                raise ValueError(
+                    "cannot infer the batch size: pass n_batch=, batch the "
+                    "system parameters as (B,) leaves, or give v0 a "
+                    "trailing batch axis")
+            n_batch = sizes.pop()
+    if v0.ndim == nd:
+        v0 = jnp.broadcast_to(v0[..., None], (*grid.shape, n_batch))
+    tau = jnp.asarray(tau, dtype=v0.dtype)
+    if comp_method == "zero" and cfg.restrict_update is None:
+        cfg = dataclasses.replace(cfg, restrict_update="min")
+    if comp_method in ("minVWithL", "maxVWithL") and targets is None:
+        raise ValueError(f"{comp_method} requires targets (l(x))")
+    if discount_factor is not None and discount_mode == "Kene":
+        if targets is None:
+            raise ValueError("Kene discounting requires targets")
+        if comp_method not in ("minVWithL", "maxVWithL"):
+            raise ValueError(
+                "Kene discounting supports only minVWithL/maxVWithL "
+                f"comp methods (got {comp_method!r})")
+
+    def _check_static(name, arr):
+        if arr is None:
+            return None
+        arr = jnp.asarray(arr, v0.dtype)
+        if arr.shape not in (grid.shape, (*grid.shape, n_batch)):
+            raise ValueError(
+                f"{name} must be grid-shaped or trailing-batched in batch "
+                f"mode (got {arr.shape}); time-varying stacks need "
+                "jax.vmap(solve)")
+        if arr.shape == grid.shape:
+            # trailing singleton so shared operands broadcast across the
+            # scenario lane axis (numpy aligns trailing dims)
+            arr = arr[..., None]
+        return arr
+
+    obstacles = _check_static("obstacles", obstacles)
+    targets = _check_static("targets", targets)
+    if obstacles is not None:
+        v0 = jnp.maximum(v0, -obstacles)
+
+    if stop_set_include is not None and stop_set_intersect is not None:
+        raise ValueError(
+            "stop_set_include and stop_set_intersect are mutually exclusive")
+    stop_set = (stop_set_include if stop_set_include is not None
+                else stop_set_intersect)
+    stop_set_mode = None
+    if stop_set is not None:
+        stop_set = _check_static("stop_set", stop_set)
+        stop_set_mode = ("include" if stop_set_include is not None
+                         else "intersect")
+
+    noise_sigma = None
+    if noise_stddev is not None:
+        noise_sigma = jnp.asarray(noise_stddev, v0.dtype)
+        if noise_sigma.ndim == 1:
+            noise_sigma = jnp.diag(noise_sigma)
+        if noise_sigma.shape[0] != nd:
+            raise ValueError(
+                f"noise_stddev must have leading dim {nd}, got "
+                f"{noise_sigma.shape}")
+
+    gamma = (jnp.asarray(discount_factor, v0.dtype)
+             if discount_factor is not None else jnp.asarray(1.0, v0.dtype))
+    stop_state = (jnp.asarray(stop_init, v0.dtype)
+                  if stop_init is not None else None)
+    use_precomputed = (
+        system.alpha_time_invariant and cfg.dissipation == "global"
+    )
+    # the fused kernels speak grid-only layouts; batch-last runs pure XLA
+    if cfg.use_pallas:
+        cfg = dataclasses.replace(cfg, use_pallas=False)
+
+    # grid coordinates gain a trailing singleton so they broadcast across
+    # the scenario lane axis: (nx,1,..,1) -> (nx,1,..,1,1)
+    xs = tuple(x[..., None] for x in grid.mesh_broadcastable(v0.dtype))
+
+    run = _cached_batch_run(
+        grid, cfg, comp_method, n_batch, discount_mode,
+        discount_factor is not None, converge_threshold, ignore_boundary,
+        save_all, use_precomputed, record_ttr, progress,
+        stop_set_mode, noise_sigma is not None, nan_guard,
+    )
+    values, changes, stop_index, steps, ttr, nan_index = run(
+        system, v0, tau, xs, obstacles, targets, gamma,
+        stop_state, stop_set, jnp.asarray(stop_level, v0.dtype),
+        noise_sigma)
+    return SolveResult(values=values, tau=tau, changes=changes,
                        stop_index=stop_index, steps=steps, ttr=ttr,
                        nan_index=nan_index)

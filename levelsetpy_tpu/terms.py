@@ -36,7 +36,7 @@ from .grid import Grid
 from .systems.base import System
 
 __all__ = ["SchemeConfig", "hj_rhs", "precompute_alpha", "AlphaBounds",
-           "GridOps", "local_ops"]
+           "GridOps", "local_ops", "batched_ops"]
 
 Dissipation = Literal["global", "local", "locallocal"]
 
@@ -66,6 +66,39 @@ def local_ops(grid: Grid) -> GridOps:
         pad=lambda v, axis, width: pad_axis(grid, v, axis, width),
         reduce_max=jnp.max,
         reduce_min=jnp.min,
+    )
+
+
+def batched_ops(grid: Grid) -> GridOps:
+    """Batch-LAST execution ops: value arrays carry one trailing batch axis
+    behind the grid axes — ``(*grid.shape, B)``.
+
+    On TPU the trailing axis is the 128-lane vector axis, so a sweep of
+    small grids (e.g. 1024 x 31^3, BASELINE config #3) runs at full lane
+    utilization: every elementwise op vectorizes across scenarios and the
+    stencil slices move along sublane/major axes only.  ``vmap``'s
+    batch-FIRST layout instead leaves the 31-point z-axis in the lanes —
+    ~4x padding waste per vreg.
+
+    Reductions collapse the grid axes only, yielding per-scenario ``(B,)``
+    scalars (CFL bounds, convergence metrics, stop predicates); unbatched
+    broadcastable operands (shared alphas, shared stop sets) reduce to true
+    scalars, which broadcast against ``(B,)`` downstream.
+    """
+    nd = grid.ndim
+
+    def _reduce(fn):
+        def red(a):
+            a = jnp.asarray(a)
+            if a.ndim > nd:
+                return fn(a, axis=tuple(range(nd)))
+            return fn(a)
+        return red
+
+    return GridOps(
+        pad=lambda v, axis, width: pad_axis(grid, v, axis, width),
+        reduce_max=_reduce(jnp.max),
+        reduce_min=_reduce(jnp.min),
     )
 
 
