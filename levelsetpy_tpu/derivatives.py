@@ -198,34 +198,44 @@ def upwind_eno3(grid: Grid, data: jnp.ndarray, axis: int):
     return eno3_from_padded(grid.dx[axis], g, axis, data.shape[axis])
 
 
-def _weno_combine(phis, ss, weights, eps, inv_eps=None):
-    """Convex WENO combination in multiply-through form.
+def _weno_weight_tables(ss, eps, inv_eps=None):
+    """Unnormalized WENO weight tables in multiply-through form, computed
+    ONCE over the full base-window table and shared by BOTH one-sided
+    derivatives.
 
     Algebraically identical to the textbook
-    ``a_i = w_i/(s_i+eps)^2; sum(a p)/sum(a)`` but with fewer divides —
-    divides are the dominant VPU cost of the whole solve:
+    ``a_i = w_i/(s_i+eps)^2; sum(a p)/sum(a)`` (up to a common x10 scale
+    that cancels in the ratio) but with fewer divides — divides are the
+    dominant VPU cost of the whole solve:
 
       * ``inv_eps`` given (a scalar; the maxOverGrid path): scale by
         ``1/eps`` instead of normalizing — ``b_i = s_i/eps + 1`` — for a
-        SINGLE divide per combine.  Safe because maxOverGrid bounds the
+        SINGLE divide per derivative.  Safe because maxOverGrid bounds the
         ratio intrinsically: ``s <= 33 * max(D1^2)`` over the same table
         the epsilon reduces, so ``b_i in [1, 3.4e7]`` and the pairwise
         products of squares stay within f32 range for ANY input magnitude.
       * otherwise (constant / per-node epsilon, where ``s/eps`` is
-        unbounded): pre-normalize the ``b_i`` by their sum — 2 divides —
-        so the products can neither overflow nor underflow (the raw
-        multiply-through form underflows to 0/0 = NaN in f32 whenever an
-        axis is degenerate and ``s_i + eps`` sits at the
-        smallest-normal floor).
+        unbounded): pre-normalize the ``b_i`` by their sum — one extra
+        divide, now also shared by both sides — so the products can
+        neither overflow nor underflow (the raw multiply-through form
+        underflows to 0/0 = NaN in f32 whenever an axis is degenerate and
+        ``s_i + eps`` sits at the smallest-normal floor).
+
+    Sharing argument: stencil reversal maps the right derivative's
+    indicators onto the left's one window ahead (``_weno_tables``), so with
+    weights (0.1, 0.6, 0.3) scaled x10 to (1, 6, 3) the right side's
+    unnormalized weights are the SAME three product tables read in reverse:
+    left (j) uses ``(A1, A2, 3*A3)``, right (j+1) uses ``(A3, A2, 3*A1)``
+    where ``(A1, A2, A3) = (c2*c3, 6*c1*c3, c1*c2)``.  That halves the
+    b/c/product work per axis (~13% of the whole RHS) versus combining each
+    side separately — sharing XLA's CSE cannot find because the slices are
+    shifted.  ``eps`` may be a scalar or a per-window table (sliced by the
+    caller alongside these tables).
     """
-    if inv_eps is not None:
-        b1 = ss[0] * inv_eps + 1.0
-        b2 = ss[1] * inv_eps + 1.0
-        b3 = ss[2] * inv_eps + 1.0
-    else:
-        b1 = ss[0] + eps
-        b2 = ss[1] + eps
-        b3 = ss[2] + eps
+    b1 = ss[0] * inv_eps + 1.0 if inv_eps is not None else ss[0] + eps
+    b2 = ss[1] * inv_eps + 1.0 if inv_eps is not None else ss[1] + eps
+    b3 = ss[2] * inv_eps + 1.0 if inv_eps is not None else ss[2] + eps
+    if inv_eps is None:
         r = 1.0 / (b1 + b2 + b3)
         b1 = b1 * r
         b2 = b2 * r
@@ -233,9 +243,13 @@ def _weno_combine(phis, ss, weights, eps, inv_eps=None):
     c1 = b1 * b1
     c2 = b2 * b2
     c3 = b3 * b3
-    a1 = weights[0] * (c2 * c3)
-    a2 = weights[1] * (c1 * c3)
-    a3 = weights[2] * (c1 * c2)
+    return c2 * c3, 6.0 * (c1 * c3), c1 * c2
+
+
+def _weno_eval(phis, a1, a2, a3_third):
+    """Final WENO convex combination from pre-shared weight tables (the
+    third table carries a pending x3: see ``_weno_weight_tables``)."""
+    a3 = 3.0 * a3_third
     return (a1 * phis[0] + a2 * phis[1] + a3 * phis[2]) / (a1 + a2 + a3)
 
 
@@ -251,20 +265,17 @@ def _weno_tables(d1, axis: int, n: int):
     work and reuses 2 of 6 candidates — a sharing XLA's CSE cannot find by
     itself because the slices are shifted.
 
-    Returns ``(phis_l, phis_r, ss_l, ss_r)`` with entries of length ``n``:
+    Returns ``(phis_l, phis_r, ss)``:
       phis_l = (p1^L, p2^L, p3^L)       phis_r = (p1^R, p3^L, p2^L)
-      ss_l   = (S1, S2, S3)(j)          ss_r   = (S3, S2, S1)(j+1)
+      ss     = (S1, S2, S3) over ALL n+1 base windows — the caller turns
+      them into shared weight tables (``_weno_weight_tables``) and reads
+      head slices (j) for the left side, reversed tail slices (j+1) for
+      the right.
     """
     # d1 has length n+5; the n+1 base windows need d1[m..m+4] (m = 0..n),
     # the candidates only the n left-node windows (offsets 0..5, length n).
     w = [_win(d1, axis, k, n + 1) for k in range(5)]   # smoothness tables
     u = [_win(d1, axis, k, n) for k in range(6)]       # candidate slices
-
-    def head(a):  # window j = 0..n-1  (left-derivative node index)
-        return _win(a, axis, 0, n)
-
-    def tail(a):  # window j+1         (right-derivative node index)
-        return _win(a, axis, 1, n)
 
     # 4 distinct candidate polynomials (of the 6 naive ones)
     p1l = u[0] * (1 / 3) - u[1] * (7 / 6) + u[2] * (11 / 6)
@@ -280,11 +291,7 @@ def _weno_tables(d1, axis: int, n: int):
     s3 = (13 / 12) * (w[2] - 2 * w[3] + w[4]) ** 2 \
         + 0.25 * (3 * w[2] - 4 * w[3] + w[4]) ** 2
 
-    phis_l = (p1l, p2l, p3l)
-    phis_r = (p1r, p3l, p2l)
-    ss_l = (head(s1), head(s2), head(s3))
-    ss_r = (tail(s3), tail(s2), tail(s1))
-    return phis_l, phis_r, ss_l, ss_r
+    return (p1l, p2l, p3l), (p1r, p3l, p2l), (s1, s2, s3)
 
 
 def weno5_from_padded(
@@ -320,28 +327,29 @@ def weno5_from_padded(
 
     inv_eps = None
     if epsilon_method == "constant":
-        eps_l = eps_r = 1e-6
+        eps = 1e-6
     elif epsilon_method == "maxOverGrid":
         # Reference reduces over the *stripped* D1 table (offsets 2..n+2).
         d1s = _win(d1, axis, 2, n + 1)
-        eps_l = eps_r = 1e-6 * global_max(d1s * d1s) + eps_floor
-        inv_eps = 1.0 / eps_l  # scalar: enables the 1-divide combine
+        eps = 1e-6 * global_max(d1s * d1s) + eps_floor
+        inv_eps = 1.0 / eps  # scalar: enables the 1-divide combine
     elif epsilon_method == "maxOverNeighbors":
-        # Per-window max of D1^2: the left node-j window and the right
-        # node-j window (reversed window j+1) cover the same entries, so
-        # one table serves both sides.
+        # Per-window max of D1^2 over all n+1 base windows: the left node-j
+        # window and the right node-j window (reversed window j+1) cover
+        # the same entries, so the per-window table feeds the shared weight
+        # tables directly.
         sq = [v * v for k in range(5)
               for v in (_win(d1, axis, k, n + 1),)]
-        eps_tab = 1e-6 * functools.reduce(jnp.maximum, sq) + eps_floor
-        eps_l = _win(eps_tab, axis, 0, n)
-        eps_r = _win(eps_tab, axis, 1, n)
+        eps = 1e-6 * functools.reduce(jnp.maximum, sq) + eps_floor
     else:
         raise ValueError(f"unknown epsilon method: {epsilon_method}")
 
-    weights = (0.1, 0.6, 0.3)
-    phis_l, phis_r, ss_l, ss_r = _weno_tables(d1, axis, n)
-    deriv_l = _weno_combine(phis_l, ss_l, weights, eps_l, inv_eps)
-    deriv_r = _weno_combine(phis_r, ss_r, weights, eps_r, inv_eps)
+    phis_l, phis_r, ss = _weno_tables(d1, axis, n)
+    a1, a2, a3 = _weno_weight_tables(ss, eps, inv_eps)
+    deriv_l = _weno_eval(phis_l, _win(a1, axis, 0, n), _win(a2, axis, 0, n),
+                         _win(a3, axis, 0, n))
+    deriv_r = _weno_eval(phis_r, _win(a3, axis, 1, n), _win(a2, axis, 1, n),
+                         _win(a1, axis, 1, n))
     return deriv_l, deriv_r
 
 

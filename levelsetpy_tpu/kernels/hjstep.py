@@ -52,7 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..boundary import pad_axis
 from ..grid import Grid
-from .weno3d import _smoothness, _weno_axis01, _weno_combine, aligned_dims
+from .weno3d import (_smoothness, _weno_axis01, _weno_eval,
+                     _weno_weight_tables, aligned_dims)
 
 __all__ = ["lift", "lower", "refresh_x_ghosts", "fused_substep_3d",
            "fused_rk_step"]
@@ -128,12 +129,11 @@ def _weno_roll_axis(g, axis, inv_dx, epsq):
     p2l = -w[1] * (1 / 6) + w[2] * (5 / 6) + w[3] * (1 / 3)
     p3l = w[2] * (1 / 3) + w[3] * (5 / 6) - w[4] * (1 / 6)
     p1r = w[3] * (11 / 6) - w[4] * (7 / 6) + u5 * (1 / 3)
-    s1, s2, s3 = _smoothness(*w)
-    dl = _weno_combine((p1l, p2l, p3l), (s1, s2, s3), epsq)
-    dr = _weno_combine(
+    a1, a2, a3 = _weno_weight_tables(_smoothness(*w), epsq)
+    dl = _weno_eval((p1l, p2l, p3l), a1, a2, a3)
+    dr = _weno_eval(
         (p1r, p3l, p2l),
-        (_roll(s3, -1, axis), _roll(s2, -1, axis), _roll(s1, -1, axis)),
-        epsq)
+        _roll(a3, -1, axis), _roll(a2, -1, axis), _roll(a1, -1, axis))
     return dl, dr
 
 

@@ -119,11 +119,13 @@ def _win(a, axis, off, n):
     return jax.lax.slice_in_dim(a, off, off + n, axis=axis)
 
 
-def _weno_combine(phis, ss, epsq):
-    """Multiply-through WENO combination with weights (0.1, 0.6, 0.3) —
-    identical math to ``derivatives._weno_combine`` (1 divide on the
-    maxOverGrid path, 2 otherwise; see that docstring for the
-    overflow/underflow argument).  ``epsq = (eps, inv_eps_or_None)``."""
+def _weno_weight_tables(ss, epsq):
+    """Unnormalized x10-scaled WENO weight tables ``(c2*c3, 6*c1*c3,
+    c1*c2)`` over the full base-window table — identical math and
+    divide-count reasoning as ``derivatives._weno_weight_tables`` (computed
+    ONCE and read by both one-sided derivatives: left at its own window as
+    ``(A1, A2, 3*A3)``, right one window ahead as ``(A3, A2, 3*A1)``).
+    ``epsq = (eps, inv_eps_or_None)``."""
     eps, inv_eps = epsq
     if inv_eps is not None:
         b1 = ss[0] * inv_eps + 1.0
@@ -140,9 +142,13 @@ def _weno_combine(phis, ss, epsq):
     c1 = b1 * b1
     c2 = b2 * b2
     c3 = b3 * b3
-    a1 = 0.1 * (c2 * c3)
-    a2 = 0.6 * (c1 * c3)
-    a3 = 0.3 * (c1 * c2)
+    return c2 * c3, 6.0 * (c1 * c3), c1 * c2
+
+
+def _weno_eval(phis, a1, a2, a3_third):
+    """Final WENO convex combination from shared weight tables (the third
+    carries a pending x3; one divide)."""
+    a3 = 3.0 * a3_third
     return (a1 * phis[0] + a2 * phis[1] + a3 * phis[2]) / (a1 + a2 + a3)
 
 
@@ -171,7 +177,7 @@ def _weno_axis01(d1, axis, n, epsq):
     p2l = -u[1] * (1 / 6) + u[2] * (5 / 6) + u[3] * (1 / 3)
     p3l = u[2] * (1 / 3) + u[3] * (5 / 6) - u[4] * (1 / 6)
     p1r = u[3] * (11 / 6) - u[4] * (7 / 6) + u[5] * (1 / 3)
-    s1, s2, s3 = _smoothness(*w)
+    a1, a2, a3 = _weno_weight_tables(_smoothness(*w), epsq)
 
     def head(a):
         return _win(a, axis, 0, n)
@@ -179,10 +185,8 @@ def _weno_axis01(d1, axis, n, epsq):
     def tail(a):
         return _win(a, axis, 1, n)
 
-    dl = _weno_combine((p1l, p2l, p3l),
-                       (head(s1), head(s2), head(s3)), epsq)
-    dr = _weno_combine((p1r, p3l, p2l),
-                       (tail(s3), tail(s2), tail(s1)), epsq)
+    dl = _weno_eval((p1l, p2l, p3l), head(a1), head(a2), head(a3))
+    dr = _weno_eval((p1r, p3l, p2l), tail(a3), tail(a2), tail(a1))
     return dl, dr
 
 
@@ -209,10 +213,10 @@ def _weno_lane_axis(g2, inv_dx, epsq):
     p2l = -w[1] * (1 / 6) + w[2] * (5 / 6) + w[3] * (1 / 3)
     p3l = w[2] * (1 / 3) + w[3] * (5 / 6) - w[4] * (1 / 6)
     p1r = w[3] * (11 / 6) - w[4] * (7 / 6) + u5 * (1 / 3)
-    s1, s2, s3 = _smoothness(*w)
-    dl = _weno_combine((p1l, p2l, p3l), (s1, s2, s3), epsq)
-    dr = _weno_combine((p1r, p3l, p2l),
-                       (_roll(s3, -1), _roll(s2, -1), _roll(s1, -1)), epsq)
+    a1, a2, a3 = _weno_weight_tables(_smoothness(*w), epsq)
+    dl = _weno_eval((p1l, p2l, p3l), a1, a2, a3)
+    dr = _weno_eval((p1r, p3l, p2l),
+                    _roll(a3, -1), _roll(a2, -1), _roll(a1, -1))
     return dl, dr
 
 

@@ -1,5 +1,11 @@
 """Microbench: WENO combine formulations on TPU (full 3-axis XLA RHS).
 
+HISTORICAL (2026-08): this A/B chose the multiply-through form (B won).
+The production code has since moved on to shared weight tables
+(``derivatives._weno_weight_tables``, 2026-08-20) and no longer has a
+swappable ``_weno_combine`` seam — the script exits early if run against
+the current tree; kept as the record of the divide-count decision.
+
 Variants:
   A current   a_i = w_i/(s_i+eps)^2; out = sum(a p)/sum(a)        (4 div/side)
   B multthru  w_i' = w_i * prod_{j!=i}(s_j+eps)^2; out = num/den  (1 div/side)
@@ -60,6 +66,11 @@ def combine_c(phis, ss, weights, eps):
 
 
 def main():
+    if not hasattr(D, "_weno_combine"):
+        print("historical A/B: the _weno_combine seam was removed by the "
+              "shared-weight-table refactor (2026-08-20); see module "
+              "docstring for the recorded result")
+        return
     grid = create_grid(LO, HI, SHAPE, periodic_dims=[2])
     system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
     v0 = cylinder(grid, ignore_axes=[2], center=[0, 0, 0], radius=5.0)
