@@ -106,15 +106,17 @@ def main():
     )
 
     cpu_seconds = cpu_reference_seconds(n_steps)
-    print(json.dumps({
+    rec = {
         "metric": "air3d_101cube_brt_T2.0_wallclock",
         "value": round(tpu_seconds, 4),
         "unit": "s",
         "vs_baseline": round(cpu_seconds / tpu_seconds, 2),
-    }))
+    }
+    print(json.dumps(rec))
     print(f"steps={n_steps} steps/s={n_steps / tpu_seconds:.1f} "
           f"cpu_ref={cpu_seconds:.1f}s device={jax.devices()[0]}",
           file=sys.stderr)
+    return rec
 
 
 if __name__ == "__main__":

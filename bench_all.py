@@ -327,7 +327,7 @@ def main():
         bench_di2d()
     if "headline" not in args.skip:
         import bench
-        bench.main()  # prints the headline JSON line itself
+        RECORDS.append(bench.main())  # prints the headline line itself
     if "sweep" not in args.skip:
         bench_sweep(batch=args.sweep_batch)
     if "sweep_batchlast" not in args.skip:
@@ -339,8 +339,13 @@ def main():
     if "accuracy_101" not in args.skip:
         bench_accuracy_101()
 
+    # merge by metric name so partial runs (--skip ...) update in place
     out = ROOT / "benchmarks" / "BENCH_ALL.json"
-    out.write_text(json.dumps(RECORDS, indent=2))
+    merged = {}
+    if out.exists():
+        merged = {r["metric"]: r for r in json.loads(out.read_text())}
+    merged.update({r["metric"]: r for r in RECORDS})
+    out.write_text(json.dumps(list(merged.values()), indent=2))
     print(f"wrote {out}", file=sys.stderr)
 
 

@@ -8,11 +8,12 @@ helpers are thin matplotlib wrappers operating on host numpy copies — keep
 them out of hot loops (the reference redrew matplotlib every solver step,
 ``hji_solver.py:731-836``; here visualization is explicit post-processing).
 """
-from .frames import export_frames
+from .frames import animate, export_frames
 from .marching import contour_segments, implicit_mesh, marching_tetrahedra
 
 __all__ = [
     "contour_segments",
+    "animate",
     "export_frames",
     "implicit_mesh",
     "isosurface",

@@ -19,7 +19,7 @@ from typing import Sequence
 
 import numpy as np
 
-__all__ = ["export_frames"]
+__all__ = ["export_frames", "animate"]
 
 
 def export_frames(
@@ -116,3 +116,65 @@ def export_frames(
     (out_dir / "manifest.json").write_text(json.dumps(
         {"level": level, "ndim": g.ndim, "frames": entries}, indent=2))
     return paths
+
+
+def animate(
+    grid,
+    result,
+    out_path,
+    level: float = 0.0,
+    proj_axes: Sequence[int] | None = None,
+    fps: int = 5,
+) -> pathlib.Path:
+    """Render the tube's evolution to an animated GIF — the post-hoc
+    equivalent of the reference's live redraw-per-step visualizers
+    (``interactive_plotter.py:27``, ``visualizer.py:71,177``; notebook
+    cell 6 of ``Notes/rcbrt_cp.ipynb``), without ever touching the solve
+    loop.  2-D grids animate the zero contour on fixed axes; 3-D (or
+    ``proj_axes``-projected) grids animate the isosurface."""
+    from matplotlib.animation import PillowWriter
+
+    from . import _mpl, plot_isosurface, plot_zero_contour
+
+    plt = _mpl()
+    out_path = pathlib.Path(out_path)
+    values = np.asarray(result.values)
+    tau = np.asarray(result.tau)
+    if values.ndim != grid.ndim + 1:
+        raise ValueError(
+            f"expected a (T, *grid.shape) stack, got {values.shape}")
+
+    def frame_data(k):
+        g, v = grid, values[k]
+        if proj_axes is not None:
+            from ..values import proj
+
+            g, v = proj(grid, v, tuple(int(a) for a in proj_axes),
+                        mode="min")
+            v = np.asarray(v)
+        return g, v
+
+    g0, _ = frame_data(0)
+    if g0.ndim not in (2, 3):
+        raise ValueError(
+            f"cannot animate {g0.ndim}-D values; use proj_axes")
+
+    fig = plt.figure()
+    writer = PillowWriter(fps=fps)
+    with writer.saving(fig, str(out_path), dpi=100):
+        for k in range(values.shape[0]):
+            g, v = frame_data(k)
+            fig.clf()
+            if g.ndim == 2:
+                ax = fig.add_subplot()
+                plot_zero_contour(g, v, level=level, colors="crimson",
+                                  ax=ax)
+                ax.set_xlim(g.lo[0], g.hi[0])
+                ax.set_ylim(g.lo[1], g.hi[1])
+            else:
+                ax = fig.add_subplot(projection="3d")
+                plot_isosurface(g, v, level=level, ax=ax)
+            ax.set_title(f"t = {tau[k]:.3f}")
+            writer.grab_frame()
+    plt.close(fig)
+    return out_path

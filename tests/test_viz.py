@@ -62,3 +62,31 @@ class TestExportFrames:
         paths = export_frames(g, res, tmp_path / "b", proj_axes=[0, 1])
         rec = np.load(paths[0])
         assert str(rec["kind"]) == "contour"
+
+
+class TestAnimate:
+    def test_2d_gif(self, tmp_path):
+        from levelsetpy_tpu.viz import animate
+
+        g = create_grid([-1.0, -1.0], [1.0, 1.0], 31)
+        sys_ = DoubleIntegrator(u_max=1.0)
+        phi0 = sphere(g, radius=0.2, dtype=jnp.float64)
+        res = solve(g, sys_, phi0, tau=jnp.linspace(0.0, 0.3, 3),
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        out = animate(g, res, tmp_path / "tube.gif", fps=2)
+        data = out.read_bytes()
+        assert data[:6] in (b"GIF87a", b"GIF89a")
+        assert len(data) > 1000
+
+    def test_3d_projected_gif(self, tmp_path):
+        from levelsetpy_tpu.viz import animate
+
+        g = create_grid([-6, -10, 0], [20, 10, 2 * np.pi], 15,
+                        periodic_dims=[2])
+        sys_ = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+        target = cylinder(g, ignore_axes=[2], radius=5.0,
+                          dtype=jnp.float64)
+        res = solve(g, sys_, target, tau=jnp.linspace(0.0, 0.2, 2),
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        out = animate(g, res, tmp_path / "proj.gif", proj_axes=(0, 1))
+        assert out.read_bytes()[:6] in (b"GIF87a", b"GIF89a")
