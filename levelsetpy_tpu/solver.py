@@ -267,6 +267,15 @@ def _solve_core(
                 v = apply_comp(v, v_last, v0, tgt_i)
                 if obs_i is not None:
                     v = jnp.maximum(v, -obs_i)
+                if n_batch is not None:
+                    # Elements that already reached t1 take zero-length RK
+                    # steps while slower elements integrate, but apply_comp's
+                    # discounting (Jaime blend, Kene shift-scale) is NOT
+                    # idempotent — freeze finished elements exactly as the
+                    # per-element solve's loop exit would leave them.  The
+                    # (B,) mask broadcasts against the trailing scenario axis.
+                    active = t < t1 - small
+                    v = jnp.where(active, v, v_last)
                 if record_ttr:
                     # first-crossing time by linear interpolation of the
                     # sign change (ref Helper/post_ttr.py:8)
@@ -669,6 +678,13 @@ def solve_batch(
     targets / stop sets shared or per-scenario, ``discount_factor`` scalar
     or ``(B,)``.  Time-varying obstacle/target stacks are not supported in
     batch mode (use ``jax.vmap(solve)``).
+
+    Batch-size inference: when ``n_batch`` is not given and ``v0`` has no
+    trailing batch axis, EVERY system array leaf with ``ndim >= 1`` is
+    interpreted as a ``(B,)`` scenario batch — a system carrying a genuine
+    non-batched vector parameter (e.g. a ``(2,)`` goal point) must pass
+    ``n_batch=`` explicitly (inconsistent leaf sizes raise; a lone vector
+    leaf would otherwise be misread as the batch).
     """
     if comp_method not in _COMP_METHODS:
         raise ValueError(f"unknown comp_method {comp_method!r}")

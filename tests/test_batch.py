@@ -108,6 +108,41 @@ class TestBatchFeatures:
             np.testing.assert_allclose(res.ttr[..., b], single.ttr,
                                        atol=1e-10)
 
+    def test_discount_heterogeneous_dynamics(self):
+        """Elements with different dynamics take different step counts per
+        tau interval; discounting is NOT idempotent, so early-finishing
+        elements must be frozen (not re-discounted) while slower elements
+        integrate — regression for the r2 batch over-discount bug."""
+        tau = jnp.linspace(0.0, 0.8, 3)
+        u = jnp.array([1.0, 0.25])   # fast CFL vs slow CFL: step counts differ
+        res = solve_batch(self.g, DoubleIntegrator(u_max=u), self.target,
+                          tau, cfg=self.cfg, comp_method="minVWithL",
+                          targets=self.target, discount_factor=0.95)
+        for b in range(2):
+            single = solve(self.g, DoubleIntegrator(u_max=float(u[b])),
+                           self.target, tau, cfg=self.cfg,
+                           comp_method="minVWithL", targets=self.target,
+                           discount_factor=0.95)
+            np.testing.assert_allclose(res.values[..., b], single.values,
+                                       atol=1e-10)
+
+    def test_kene_discount_heterogeneous(self):
+        """Kene's shift-scale-min is applied per step — the same freeze must
+        protect it for heterogeneous batches."""
+        tau = jnp.linspace(0.0, 0.6, 3)
+        u = jnp.array([1.2, 0.3])
+        res = solve_batch(self.g, DoubleIntegrator(u_max=u), self.target,
+                          tau, cfg=self.cfg, comp_method="minVWithL",
+                          targets=self.target, discount_factor=0.9,
+                          discount_mode="Kene")
+        for b in range(2):
+            single = solve(self.g, DoubleIntegrator(u_max=float(u[b])),
+                           self.target, tau, cfg=self.cfg,
+                           comp_method="minVWithL", targets=self.target,
+                           discount_factor=0.9, discount_mode="Kene")
+            np.testing.assert_allclose(res.values[..., b], single.values,
+                                       atol=1e-10)
+
     def test_stop_init_per_element(self):
         tau = jnp.linspace(0.0, 3.0, 7)
         u = jnp.array([1.5, 0.5])
