@@ -1,0 +1,334 @@
+"""Fused Pallas TPU kernel: 3-D HJ right-hand side for a batch-LAST sweep.
+
+The batch-last solver (``solve_batch``) lays a scenario sweep out as
+``(x, y, z, B)`` — the B axis rides the 128-wide vector lanes, so a sweep of
+small grids runs at full lane utilization (zero junk lanes when ``B`` is a
+multiple of 128).  Its XLA path, however, still evaluates the WENO chain as
+~25 separate full-array passes per RHS; at sweep sizes (31^3 x 1024 = 122 MB
+working set) that is exactly the "HBM-working-set bound" regime the r2 notes
+measured at 225 solves/s.
+
+This kernel computes the ENTIRE right-hand side for a ``(bx, by, z, 128)``
+block inside VMEM — derivL/derivR for all three grid axes, the Hamiltonian,
+the per-axis dissipation bounds, and the LF dissipation sum — with steady
+state HBM traffic of ``read(V_pad block) + write(V_dot block)``.  The layout
+is the mirror image of the single-grid slab kernel (``weno3d.py``):
+
+  * NO grid axis is the lane axis, so axes 0 and 1 use plain (free) slices
+    on untiled leading dims and axis 2 (the sublane axis) uses the rotation
+    trick from ``hjstep._weno_roll_axis``; the lane axis (scenarios) is
+    never sliced or rotated at all.
+  * Per-scenario quantities — the WENO epsilon (maxOverGrid is a
+    per-scenario reduction in batch mode) and every system parameter leaf —
+    are ``(B,)`` vectors that broadcast along the lanes.  They travel to the
+    kernel as rows of ONE packed ``(R, B)`` f32 array (eps / 1-over-eps /
+    flattened system leaves) and each block DMAs its 128-lane column chunk.
+  * Dissipation bounds are evaluated IN KERNEL from iota-reconstructed
+    coordinates + the packed parameters (valid for ``alpha_time_invariant``
+    systems, the precondition for the solver's precomputed-CFL fast path),
+    so alphas never touch HBM — unlike the single-grid kernel, which DMAs
+    three pre-widened alpha arrays.
+  * Blocks are driven by a ``fori_loop`` unrolled in PAIRS so the
+    double-buffer slot is static (Mosaic-friendly scratch indexing) while
+    block offsets stay dynamic — at sweep sizes there are dozens of blocks
+    and a fully unrolled program would blow up remote compile time.
+
+Reference anchor: this replaces the per-scenario rerun loop around
+``HJIPDE_solve`` (``ValueFuncs/hji_solver.py:509``; ``Notes/rcbrt_cp.ipynb``
+cell 6) that LevelSetPy users run for disturbance sweeps.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grid import Grid
+from .hjstep import _weno_roll_axis
+from .weno3d import _weno_axis01
+
+__all__ = ["fused_hj_rhs_batch", "fits_vmem_batch", "pick_blocks",
+           "batch_system_closures", "batch_leaves_ok", "LANE_CHUNK"]
+
+#: lane-axis chunk each block processes (one full vreg width)
+LANE_CHUNK = 128
+
+#: packed-row layout: rows 0-2 = per-axis eps, 3-5 = per-axis 1/eps,
+#: 6 = per-scenario time (batch elements integrate at their own CFL pace,
+#: so t is a (B,) vector), 7.. = flattened system parameter leaves
+_T_ROW = 6
+_PARAM_ROW0 = 7
+
+
+def _aligned_z(grid: Grid) -> int:
+    """Ghost-padded z width rounded up to a sublane (8) multiple — the
+    kernel's DMA slices keep the trailing two dims (z, B) whole, so only
+    tile alignment of this dim is needed."""
+    return -(-(grid.shape[2] + 6) // 8) * 8
+
+
+def batch_leaves_ok(system, n_batch: int) -> bool:
+    """True when every system leaf is a scalar or a ``(B,)`` scenario batch
+    — the shapes the packed parameter rows can carry."""
+    for leaf in jax.tree.leaves(system):
+        shp = jnp.shape(leaf)
+        if shp not in ((), (n_batch,)):
+            return False
+    return True
+
+
+def fits_vmem_batch(grid: Grid, n_batch: int, block_x: int, block_y: int,
+                    dtype_bytes: int = 4,
+                    budget_bytes: int = 12 * 1024 * 1024) -> bool:
+    """Feasibility of the double-buffered working set for given block dims."""
+    if grid.ndim != 3 or n_batch % LANE_CHUNK:
+        return False
+    x, y, _ = grid.shape
+    bx, by = min(block_x, x), min(block_y, y)
+    zs = _aligned_z(grid)
+    slab = (bx + 6) * (by + 6) * zs * LANE_CHUNK * dtype_bytes
+    interior = bx * by * zs * LANE_CHUNK * dtype_bytes
+    # 2 slabs + 2 out stages + ~10 live interior-sized WENO temporaries
+    return 2 * slab + 2 * interior + 10 * interior < budget_bytes
+
+
+def pick_blocks(grid: Grid, n_batch: int) -> tuple[int, int] | None:
+    """Largest (block_x, block_y) from the preference list that fits VMEM.
+
+    Bigger blocks amortize the ghost-overlap DMA re-reads (a (bx+6)(by+6)
+    slab feeds only bx*by outputs); the v5e budget caps them well below the
+    single-grid kernel's because every temp carries 128 scenario lanes.
+    """
+    for bx, by in ((8, 8), (8, 4), (4, 4), (4, 2), (2, 2), (1, 1)):
+        if fits_vmem_batch(grid, n_batch, bx, by):
+            return bx, by
+    return None
+
+
+def batch_system_closures(grid: Grid, system, dtype, n_batch: int):
+    """Packed parameter rows + kernel-side Hamiltonian/alpha closures.
+
+    Returns ``(param_rows, ham_fn, alpha_fn)``:
+      * ``param_rows``: ``(L, B)`` — every system leaf broadcast to ``(B,)``;
+      * ``ham_fn(t, starts, p, pk) -> H`` — ``pk`` is the block's packed
+        ``(R, 128)`` VMEM chunk; leaves are rebuilt as ``(1, 1, 1, 128)``
+        lane vectors that broadcast against the ``(bx, by, zs, 128)`` block;
+      * ``alpha_fn(t, starts, shape, pk, axis) -> alpha`` (broadcastable) —
+        valid for ``alpha_time_invariant`` systems (costate box ignored).
+
+    Coordinates are rebuilt per axis from ``starts + iota`` as broadcastable
+    singletons (``grid.lo``/``dx`` are static literals), exactly like
+    ``weno3d.system_closures`` but with the trailing scenario axis.
+    """
+    leaves, treedef = jax.tree.flatten(system)
+    rows = [jnp.broadcast_to(jnp.ravel(jnp.asarray(l, dtype)), (n_batch,))
+            for l in leaves]
+    param_rows = (jnp.stack(rows) if rows
+                  else jnp.zeros((0, n_batch), dtype))
+
+    def rebuild(pk):
+        outs = [pk[_PARAM_ROW0 + k:_PARAM_ROW0 + k + 1, :]
+                .reshape(1, 1, 1, -1) for k in range(len(rows))]
+        return jax.tree.unflatten(treedef, outs)
+
+    def coords_at(starts, shape):
+        out = []
+        for ax in range(3):
+            shp = [1, 1, 1, 1]
+            shp[ax] = shape[ax]
+            idx = jax.lax.broadcasted_iota(jnp.int32, tuple(shp), ax) \
+                + starts[ax]
+            out.append(grid.lo[ax] + idx.astype(dtype) * grid.dx[ax])
+        return tuple(out)
+
+    def _t(pk):
+        return pk[_T_ROW:_T_ROW + 1, :].reshape(1, 1, 1, -1)
+
+    def ham_fn(starts, p, pk):
+        return rebuild(pk).hamiltonian(_t(pk), coords_at(starts, p[0].shape),
+                                       p)
+
+    def alpha_fn(starts, shape, pk, axis):
+        return rebuild(pk).alpha(_t(pk), coords_at(starts, shape), None,
+                                 None, axis)
+
+    return param_rows, ham_fn, alpha_fn
+
+
+def fused_hj_rhs_batch(
+    grid: Grid,
+    ham_fn: Callable,
+    alpha_fn: Callable,
+    v_pad: jnp.ndarray,          # (x+6, y+6, z+6, B) ghost-padded values
+    eps,                         # WENO epsilon, (3,) shared or (3, B)
+    t,                           # time (scalar, forwarded to ham_fn)
+    param_rows: jnp.ndarray,     # (L, B) packed system leaves
+    inv_eps=None,                # (3,)/(3, B) 1/eps -> 1-divide combine
+    block_x: int = 4,
+    block_y: int = 4,
+) -> jnp.ndarray:
+    """One fused batched RHS evaluation: ``V_dot = -(H - diss)``, (x,y,z,B).
+
+    ``ham_fn``/``alpha_fn`` as produced by :func:`batch_system_closures`;
+    ``starts`` passed to them are the block's global starting indices
+    (axis-2 coordinates follow ``padded index - 3``).
+    """
+    xp, yp, zp0, B = v_pad.shape
+    x, y, z = xp - 6, yp - 6, zp0 - 6
+    if (x, y, z) != grid.shape:
+        raise ValueError(f"padded shape {v_pad.shape} != grid {grid.shape}")
+    if B % LANE_CHUNK:
+        raise ValueError(f"batch {B} must be a multiple of {LANE_CHUNK}")
+    bx, by = min(block_x, x), min(block_y, y)
+    zs = _aligned_z(grid)
+    dtype = v_pad.dtype
+    inv_dx = tuple(float(1.0 / d) for d in grid.dx)
+    scaled = inv_eps is not None
+
+    # pack per-scenario rows: eps(3) / inv_eps(3) / t(1) / params(L); pad
+    # rows to a sublane multiple so column-chunk DMA slices stay tile-aligned
+    def _rows(a, n):
+        return jnp.broadcast_to(
+            jnp.asarray(a, dtype).reshape(n, -1), (n, B))
+
+    pack = jnp.concatenate(
+        [_rows(eps, 3), _rows(eps if inv_eps is None else inv_eps, 3),
+         _rows(t, 1), param_rows.astype(dtype)], axis=0)
+    rp = -(-pack.shape[0] // 8) * 8
+    pack = jnp.pad(pack, ((0, rp - pack.shape[0]), (0, 0)))
+
+    # tile-align the trailing-2 dims (z, B): junk z rows at the far end
+    v_pad = jnp.pad(v_pad, ((0, 0), (0, 0), (0, zs - zp0), (0, 0)))
+
+    n_bx = pl.cdiv(x, bx)
+    n_by = pl.cdiv(y, by)
+    n_c = B // LANE_CHUNK
+    n_blocks = n_c * n_bx * n_by
+
+    def kernel(vpad_hbm, pack_hbm, out_hbm, slabs, packs, stages,
+               sems_in, sems_out):
+        def decode(k):
+            """block id -> (lane-chunk offset, clamped x/y starts)."""
+            c = k // (n_bx * n_by)
+            r = k - c * (n_bx * n_by)
+            bi = r // n_by
+            bj = r - bi * n_by
+            sx = jnp.minimum(bi * bx, x - bx)       # clamped tail: overlap
+            sy = jnp.minimum(bj * by, y - by)       # recomputes same values
+            return pl.multiple_of(c * LANE_CHUNK, LANE_CHUNK), sx, sy
+
+        def in_dmas(slot, k):
+            co, sx, sy = decode(k)
+            return (
+                pltpu.make_async_copy(
+                    vpad_hbm.at[pl.ds(sx, bx + 6), pl.ds(sy, by + 6), :,
+                                pl.ds(co, LANE_CHUNK)],
+                    slabs.at[slot], sems_in.at[slot, 0]),
+                pltpu.make_async_copy(
+                    pack_hbm.at[:, pl.ds(co, LANE_CHUNK)],
+                    packs.at[slot], sems_in.at[slot, 1]),
+            )
+
+        def out_dma(slot, k):
+            co, sx, sy = decode(k)
+            return pltpu.make_async_copy(
+                stages.at[slot],
+                out_hbm.at[pl.ds(sx, bx), pl.ds(sy, by), :,
+                           pl.ds(co, LANE_CHUNK)],
+                sems_out.at[slot])
+
+        def compute(slot, k):
+            pk = packs.at[slot]
+
+            def epsq(ax):
+                e = pk[ax:ax + 1, :].reshape(1, 1, 1, -1)
+                iv = (pk[3 + ax:4 + ax, :].reshape(1, 1, 1, -1)
+                      if scaled else None)
+                return (e, iv)
+
+            _, sx, sy = decode(k)
+            g = slabs[slot]                          # (bx+6, by+6, zs, 128)
+            # ---- axis 0 (untiled): slices
+            g0 = g[:, 3:3 + by]
+            d1 = (g0[1:] - g0[:-1]) * inv_dx[0]
+            dl0, dr0 = _weno_axis01(d1, 0, bx, epsq(0))
+            # ---- axis 1 (untiled): slices
+            g1 = g[3:3 + bx]
+            d1 = (g1[:, 1:] - g1[:, :-1]) * inv_dx[1]
+            dl1, dr1 = _weno_axis01(d1, 1, by, epsq(1))
+            # ---- axis 2 (sublane): rotations, full zs width (wrap junk
+            # lands in rows the caller's final slice discards)
+            g2 = g[3:3 + bx, 3:3 + by]
+            dl2, dr2 = _weno_roll_axis(g2, 2, inv_dx[2], epsq(2))
+
+            starts = (sx, sy, -3)
+            p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
+            ham = ham_fn(starts, p, pk)
+            shape = g2.shape
+            diss = (0.5 * (dr0 - dl0) * alpha_fn(starts, shape, pk, 0)
+                    + 0.5 * (dr1 - dl1) * alpha_fn(starts, shape, pk, 1)
+                    + 0.5 * (dr2 - dl2) * alpha_fn(starts, shape, pk, 2))
+
+            @pl.when(k >= 2)
+            def _():
+                # stage buffer reused two blocks later: its DMA must be done
+                out_dma(slot, k - 2).wait()
+
+            stages[slot] = -(ham - diss)
+            out_dma(slot, k).start()
+
+        # Double-buffered pipeline over dynamically-indexed blocks, unrolled
+        # in PAIRS so the buffer slot is static: block k+1's input DMAs fly
+        # while block k computes.
+        for d in in_dmas(0, jnp.int32(0)):
+            d.start()
+
+        def pair_body(pi, carry):
+            for slot in (0, 1):
+                k = 2 * pi + slot
+
+                @pl.when(k < n_blocks)
+                def _():
+                    @pl.when(k + 1 < n_blocks)
+                    def _():
+                        for d in in_dmas(1 - slot, k + 1):
+                            d.start()
+                    for d in in_dmas(slot, k):
+                        d.wait()
+                    compute(slot, k)
+            return carry
+
+        jax.lax.fori_loop(0, pl.cdiv(n_blocks, 2), pair_body, jnp.int32(0))
+        for kk in (n_blocks - 2, n_blocks - 1):
+            if kk >= 0:
+                out_dma(kk % 2, jnp.int32(kk)).wait()
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            # DMA engines handle arbitrary leading-dim offsets in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),    # v_pad
+            pl.BlockSpec(memory_space=pltpu.HBM),    # packed rows
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((x, y, zs, B), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bx + 6, by + 6, zs, LANE_CHUNK), dtype),  # slabs
+            pltpu.VMEM((2, rp, LANE_CHUNK), dtype),                  # packs
+            pltpu.VMEM((2, bx, by, zs, LANE_CHUNK), dtype),          # stages
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        v_pad,
+        pack,
+    )
+    # drop the ghost/junk z rows (one cheap XLA slice)
+    return out[:, :, 3:3 + z, :]

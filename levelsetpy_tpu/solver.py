@@ -155,7 +155,8 @@ def _solve_core(
     comp_flag = {"minVOverTime": "min", "maxVOverTime": "max"}.get(
         comp_method)
 
-    if (alpha_bounds is not None and pallas_eligible(pgrid, cfg, v0, system)
+    if (alpha_bounds is not None and n_batch is None
+            and pallas_eligible(pgrid, cfg, v0, system)
             and not use_fused_step):
         # widen once per solve, not once per RK substep (ndim full-grid pads)
         from .terms import widen_alphas_any
@@ -166,7 +167,8 @@ def _solve_core(
 
     def rhs(t, v):
         return hj_rhs(grid, cfg, system, t, v, xs, alpha_bounds, ops,
-                      pallas_grid=pallas_grid, pallas_origin=pallas_origin)
+                      pallas_grid=pallas_grid, pallas_origin=pallas_origin,
+                      n_batch=n_batch)
 
     if noise_sigma is not None:
         # Gaussian process noise adds an Ito trace-Hessian diffusion term to
@@ -773,9 +775,10 @@ def solve_batch(
     use_precomputed = (
         system.alpha_time_invariant and cfg.dissipation == "global"
     )
-    # the fused kernels speak grid-only layouts; batch-last runs pure XLA
-    if cfg.use_pallas:
-        cfg = dataclasses.replace(cfg, use_pallas=False)
+    # use_pallas routes the RHS through the fused batch-LAST kernel
+    # (kernels/wenobatch.py) when eligible — 3-D WENO5, B a multiple of
+    # 128 lanes, scalar/(B,) system leaves; anything else silently runs
+    # the (batch-native) XLA path via terms.batch_pallas_eligible.
 
     # grid coordinates gain a trailing singleton so they broadcast across
     # the scenario lane axis: (nx,1,..,1) -> (nx,1,..,1,1)

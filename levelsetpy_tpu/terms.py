@@ -166,6 +166,9 @@ def pallas_epsilon(grid: Grid, cfg, v_pad, ops) -> jnp.ndarray:
         limits = [3 + s for s in grid.shape]
         starts[axis] -= 1
         limits[axis] += 1
+        if v_pad.ndim == nd + 1:       # batch-LAST trailing scenario axis
+            starts.append(0)
+            limits.append(v_pad.shape[-1])
         g1 = jax.lax.slice(v_pad, starts, limits)
         m = g1.shape[axis]
         d1 = (jax.lax.slice_in_dim(g1, 1, m, axis=axis)
@@ -215,6 +218,24 @@ def pallas_eligible(grid: Grid, cfg: "SchemeConfig", *trees) -> bool:
         return fits_vmem_2d(grid)
     from .kernels.weno3d import fits_vmem
     return fits_vmem(grid)
+
+
+def batch_pallas_eligible(grid: Grid, cfg: "SchemeConfig", n_batch: int,
+                          system, *trees) -> bool:
+    """True when the batch-LAST ``hj_rhs`` routes through the fused batched
+    kernel (``kernels/wenobatch.py``): 3-D WENO5 + global dissipation, the
+    batch a multiple of the 128-lane chunk, every system leaf scalar or
+    ``(B,)``, and the block working set within VMEM."""
+    if not (cfg.use_pallas and grid.ndim == 3
+            and cfg.accuracy in ("veryHigh", "weno5")
+            and cfg.dissipation == "global"
+            and cfg.epsilon_method in ("constant", "maxOverGrid")):
+        return False
+    if _batched(system, *trees):
+        return False
+    from .kernels.wenobatch import batch_leaves_ok, pick_blocks
+    return (batch_leaves_ok(system, n_batch)
+            and pick_blocks(grid, n_batch) is not None)
 
 
 def widen_alphas_any(grid: Grid, alphas: tuple, dtype) -> tuple:
@@ -280,6 +301,7 @@ def hj_rhs(
     ops: GridOps | None = None,
     pallas_grid: Grid | None = None,
     pallas_origin=None,
+    n_batch: int | None = None,
 ):
     """Spatial RHS of ``V_t = -(H - diss)`` plus the CFL step bound.
 
@@ -303,7 +325,31 @@ def hj_rhs(
         ops = local_ops(grid)
     pgrid = pallas_grid if pallas_grid is not None else grid
 
-    if alpha_bounds is not None and pallas_eligible(pgrid, cfg, v, system):
+    if (alpha_bounds is not None and n_batch is not None
+            and batch_pallas_eligible(grid, cfg, n_batch, system, v)):
+        from .kernels.wenobatch import (batch_system_closures,
+                                        fused_hj_rhs_batch, pick_blocks)
+
+        v_pad = v
+        for axis in range(nd):
+            v_pad = ops.pad(v_pad, axis, 3)
+        eps = pallas_epsilon(grid, cfg, v_pad, ops)
+        param_rows, ham_fn, alpha_fn = batch_system_closures(
+            grid, system, v.dtype, n_batch)
+        inv_eps = (1.0 / eps if cfg.epsilon_method == "maxOverGrid"
+                   else None)
+        bx, by = pick_blocks(grid, n_batch)
+        v_dot = fused_hj_rhs_batch(grid, ham_fn, alpha_fn, v_pad, eps, t,
+                                   param_rows, inv_eps=inv_eps,
+                                   block_x=bx, block_y=by)
+        if cfg.restrict_update == "min":
+            v_dot = jnp.minimum(v_dot, 0.0)
+        elif cfg.restrict_update == "max":
+            v_dot = jnp.maximum(v_dot, 0.0)
+        return v_dot, alpha_bounds.step_bound
+
+    if (alpha_bounds is not None and v.ndim == nd
+            and pallas_eligible(pgrid, cfg, v, system)):
         from .kernels.weno3d import system_closures
 
         v_pad = v

@@ -1,0 +1,120 @@
+"""Fused batch-LAST Pallas kernel correctness (interpreter mode on CPU).
+
+The batched kernel (kernels/wenobatch.py) must match the batch-native XLA
+path bit-for-bit up to f32 re-association; real-TPU A/Bs live in
+scripts/tpu_checks.py / bench_all.py."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from levelsetpy_tpu import (DubinsRel, SchemeConfig, create_grid, cylinder,
+                            solve_batch)
+from levelsetpy_tpu.terms import batched_ops, hj_rhs, precompute_alpha
+
+B = 128  # one lane chunk
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+
+def setup(shape, n_batch=B):
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], shape,
+                       periodic_dims=[2])
+    xs3 = grid.mesh_broadcastable(jnp.float32)
+    # perturb along every axis so no stencil direction sees constant data
+    v = cylinder(grid, ignore_axes=[2], radius=5.0) \
+        + 0.5 * jnp.sin(xs3[2]) * jnp.cos(0.3 * xs3[0]) * jnp.cos(0.2 * xs3[1])
+    # batch-LAST: trailing scenario axis, slightly different field per lane
+    v = v[..., None] + 0.01 * jnp.sin(jnp.arange(n_batch, dtype=jnp.float32))
+    system = DubinsRel(
+        v_e=jnp.linspace(3.0, 7.0, n_batch, dtype=jnp.float32),
+        v_p=5.0,
+        w_bound=jnp.linspace(0.5, 2.0, n_batch, dtype=jnp.float32))
+    xs = tuple(a[..., None] for a in xs3)
+    ops = batched_ops(grid)
+    ab = precompute_alpha(grid, system, xs, reduce_max=ops.reduce_max)
+    return grid, v, system, xs, ops, ab
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 16), (15, 13, 11)])
+def test_batch_kernel_matches_xla(interpret_pallas, shape):
+    grid, v, system, xs, ops, ab = setup(shape)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    d1, sb1 = hj_rhs(grid, cfg_x, system, 0.0, v, xs, ab, ops, n_batch=B)
+    d2, sb2 = hj_rhs(grid, cfg_p, system, 0.0, v, xs, ab, ops, n_batch=B)
+    assert d1.shape == d2.shape == v.shape
+    scale = float(jnp.max(jnp.abs(d1)))
+    np.testing.assert_allclose(d2, d1, atol=2e-5 * scale)
+    np.testing.assert_allclose(sb1, sb2, rtol=1e-6)
+
+
+def test_batch_kernel_constant_epsilon(interpret_pallas):
+    grid, v, system, xs, ops, ab = setup((12, 12, 12))
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="constant")
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="constant", use_pallas=True)
+    d1, _ = hj_rhs(grid, cfg_x, system, 0.0, v, xs, ab, ops, n_batch=B)
+    d2, _ = hj_rhs(grid, cfg_p, system, 0.0, v, xs, ab, ops, n_batch=B)
+    scale = float(jnp.max(jnp.abs(d1)))
+    np.testing.assert_allclose(d2, d1, atol=2e-5 * scale)
+
+
+def test_batch_solve_matches_xla(interpret_pallas):
+    """Full solve_batch through the fused kernel: per-element CFL dt, stop
+    machinery and comp masking must be untouched by the kernel routing."""
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       (14, 12, 16), periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], radius=5.0)
+    system = DubinsRel(
+        v_e=jnp.linspace(3.0, 7.0, B, dtype=jnp.float32),
+        v_p=5.0,
+        w_bound=jnp.linspace(0.5, 2.0, B, dtype=jnp.float32))
+    tau = jnp.array([0.0, 0.15], jnp.float32)
+    r1 = solve_batch(grid, system, target.astype(jnp.float32), tau,
+                     cfg=SchemeConfig(accuracy="veryHigh", rk_order=2),
+                     save_all=False)
+    r2 = solve_batch(grid, system, target.astype(jnp.float32), tau,
+                     cfg=SchemeConfig(accuracy="veryHigh", rk_order=2,
+                                      use_pallas=True),
+                     save_all=False)
+    scale = float(jnp.max(jnp.abs(r1.values)))
+    np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
+                               atol=1e-5 * scale)
+    assert int(r1.steps) == int(r2.steps)
+
+
+def test_batch_kernel_ineligible_fallbacks(interpret_pallas):
+    """B not a multiple of 128 and vector system leaves silently fall back
+    to the XLA path with identical values."""
+    from levelsetpy_tpu.terms import batch_pallas_eligible
+
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       (12, 12, 12), periodic_dims=[2])
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    sys_ok = DubinsRel(v_e=jnp.ones((96,)), v_p=5.0, w_bound=1.0)
+    assert not batch_pallas_eligible(grid, cfg_p, 96, sys_ok)
+    sys_bad = DubinsRel(v_e=jnp.ones((64,)), v_p=5.0, w_bound=1.0)
+    assert not batch_pallas_eligible(grid, cfg_p, 128, sys_bad)
+
+    target = cylinder(grid, ignore_axes=[2], radius=5.0,
+                      dtype=jnp.float32)
+    tau = jnp.array([0.0, 0.1], jnp.float32)
+    sysb = DubinsRel(v_e=jnp.linspace(3.0, 7.0, 96, dtype=jnp.float32),
+                     v_p=5.0, w_bound=1.0)
+    r1 = solve_batch(grid, sysb, target, tau, save_all=False,
+                     cfg=SchemeConfig(accuracy="veryHigh", rk_order=2))
+    r2 = solve_batch(grid, sysb, target, tau, save_all=False, cfg=cfg_p)
+    np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
+                               atol=1e-6)
