@@ -33,6 +33,7 @@ from .derivatives import (centered_first, curvature, gradient_norm, hessian,
 from .terms import AlphaBounds, SchemeConfig, hj_rhs, precompute_alpha
 from .integration import cfl_step, integrate
 from .solver import SolveResult, solve, solve_batch
+from .vector import VectorSolveResult, solve_vector
 from .values import (compute_gradients, eval_u, optimal_trajectory, proj)
 from .systems.base import System, register_system
 from .systems.double_integrator import (DoubleIntegrator,
@@ -45,6 +46,7 @@ from .extra_terms import (make_convection_term, make_curvature_term,
                           make_normal_term, make_reinit_term,
                           make_trace_hessian_term, reinitialize,
                           restrict_update, sum_terms)
+from .cache import enable_compilation_cache
 from .checkpoint import (load_checkpoint, load_metadata, resume_tau,
                          save_checkpoint)
 from .ddp import DDPConfig, DDPResult, ddp_minimax, varhji_reach

@@ -4,8 +4,10 @@ from .distributed import (init_distributed, make_global_mesh,
 from .halo import halo_exchange_axis, pad_axis_sharded
 from .solver import (local_coords, local_grid, make_mesh, shard_ops,
                      solve_sharded)
+from .vector import solve_vector_sharded
 
 __all__ = [
+    "solve_vector_sharded",
     "halo_exchange_axis",
     "pad_axis_sharded",
     "local_coords",
