@@ -204,23 +204,29 @@ def optimal_trajectory(
         return tuple(s[..., k] for k in range(system.n_states))
 
     def step(state, i):
-        # Reference convention: values[0] is the final BRT (latest tau);
-        # walk forward in real time = backward through the stack.
+        # ``solve`` stacks forward: values[0] = v0, values[-1] = the final
+        # BRT.  Walking forward in REAL time reads the stack backward —
+        # rollout step i uses slice n_t-1-i, whose time-to-go is
+        # tau[n_t-1-i].  The solver evaluated the dynamics at that solver
+        # time, so the control/dynamics queries must use it too (a
+        # time-varying system queried at tau[i] would see the wrong epoch;
+        # tEarliest refinement lives in pipeline.ReplanningController).
         t_idx = n_t - 1 - i
+        t_q = tau[t_idx]
         g_tab = grad_stack[t_idx]
         # interpolate each gradient component at the state
         comps = tuple(
             eval_u(grid, g_tab[..., k], state) for k in range(grid.ndim)
         )
-        u = system.opt_control(tau[i], _split(state), comps, system.u_mode)
-        d = system.opt_disturbance(tau[i], _split(state), comps,
+        u = system.opt_control(t_q, _split(state), comps, system.u_mode)
+        d = system.opt_disturbance(t_q, _split(state), comps,
                                    system.d_mode)
         dt_total = jnp.where(i + 1 < n_t, tau[jnp.minimum(i + 1, n_t - 1)]
                              - tau[i], 0.0)
         dt = dt_total / sub_steps
         new_state = state
         for _ in range(sub_steps):
-            new_state = system.step_state(tau[i], new_state, u, d, dt)
+            new_state = system.step_state(t_q, new_state, u, d, dt)
         val = eval_u(grid, values[t_idx], state)
         return new_state, (state, jnp.stack(u, axis=-1), val)
 

@@ -123,6 +123,53 @@ class TestOptimalTrajectory:
         # final state near the target ball
         assert dend < 0.25, dend
 
+    def test_time_varying_system_queries_time_to_go(self):
+        """Rollout step i reads value slice n_t-1-i (time-to-go
+        tau[n_t-1-i]); a time-varying system must be queried at THAT time,
+        not tau[i] — regression for the r2 time-convention bug."""
+        from levelsetpy_tpu import System, register_system
+
+        @register_system
+        class TVIntegrator(System):
+            u0: float = 0.5
+            k: float = 1.0
+
+            n_states = 2
+            alpha_time_invariant = False
+
+            def dynamics(self, t, x, u, d):
+                return (x[1], u[0])
+
+            def opt_control(self, t, x, p, mode):
+                s = jnp.sign(p[1])
+                mag = self.u0 + self.k * t     # time-varying bound
+                return ((-s if mode == "min" else s) * mag,)
+
+            def opt_disturbance(self, t, x, p, mode):
+                return ()
+
+            def alpha(self, t, x, p_min, p_max, axis):
+                if axis == 0:
+                    return jnp.abs(x[1])
+                return (self.u0 + self.k * t) * jnp.ones_like(x[0])
+
+        g = create_grid([-1.0, -1.0], [1.0, 1.0], 11)
+        sys_ = TVIntegrator()
+        tau = jnp.linspace(0.0, 1.0, 5)
+        # synthetic stack: V = x2 everywhere -> gradient p = (0, 1), so the
+        # extracted control magnitude is exactly u0 + k * t_query
+        x2 = jnp.broadcast_to(g.mesh_broadcastable(jnp.float64)[1],
+                              g.shape)
+        values = jnp.broadcast_to(x2, (5, *g.shape))
+        traj = optimal_trajectory(g, sys_, values, tau,
+                                  jnp.array([0.0, 0.0]), accuracy="first")
+        n_t = 5
+        expected = -(0.5 + 1.0 * np.asarray(tau)[::-1])  # tau[n_t-1-i]
+        np.testing.assert_allclose(np.asarray(traj.controls[:, 0]),
+                                   expected, atol=1e-12)
+        wrong = -(0.5 + 1.0 * np.asarray(tau))           # old tau[i] reading
+        assert not np.allclose(np.asarray(traj.controls[:, 0]), wrong)
+
     def test_batched_rollouts(self):
         g = create_grid([-1.0, -1.0], [1.0, 1.0], 41)
         sys_ = DoubleIntegrator(u_max=1.0)
