@@ -76,7 +76,9 @@ def main():
     import jax.numpy as jnp
 
     from levelsetpy_tpu import (DubinsRel, SchemeConfig, create_grid,
-                                cylinder, solve)
+                                cylinder, enable_compilation_cache, solve)
+
+    enable_compilation_cache()  # fresh processes reload compiled programs
 
     grid = create_grid(LO, HI, SHAPE, periodic_dims=[2])
     target = cylinder(grid, ignore_axes=[2], center=[0, 0, 0], radius=5.0)

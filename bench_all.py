@@ -195,7 +195,7 @@ def bench_sweep_batchlast(batch=1024, n=31, t_end=0.25, chunk=256):
                                       w_bound=ws[c:c + chunk] + eps),
                             target, tau, cfg=cfg, save_all=False)
             outs.append(r.values)
-        np.asarray(jnp.concatenate(outs, axis=-1))
+        return np.asarray(jnp.concatenate(outs, axis=-1))
 
     run()  # compile + warm (several minutes over the tunnel)
     # perturb parameters per call: identical executions can be served from
@@ -321,6 +321,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from levelsetpy_tpu import enable_compilation_cache
+
+    enable_compilation_cache()  # fresh processes reload compiled programs
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
 
     if "di2d" not in args.skip:

@@ -31,9 +31,17 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 
-def solve_stats(n: int, t_end: float, shards: int, mesh=None) -> dict:
+def solve_stats(n: int, t_end: float, shards: int, shards_y: int = 0,
+                mesh=None) -> dict:
     """Run the sharded air3D solve on the current (possibly multi-process)
-    runtime; return replicated global statistics."""
+    runtime; return replicated global statistics + this process's timings.
+
+    ``shards_y > 0`` builds a 2-axis process-spanning mesh ``{"x": shards,
+    "y": shards_y}`` sharding grid axes 0 AND 1 — with more processes than
+    ``x``-rows per process, the host-contiguous layout is exercised across
+    multiple host boundaries."""
+    import time
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,18 +55,32 @@ def solve_stats(n: int, t_end: float, shards: int, mesh=None) -> dict:
                        [n, n, max(n // 2, 8)], periodic_dims=[2])
     system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
     if mesh is None:
-        mesh = make_global_mesh({"x": shards})
+        axes = {"x": shards}
+        if shards_y:
+            axes["y"] = shards_y
+        mesh = make_global_mesh(axes)
     shard_axes = {0: "x"}
+    if shards_y:
+        shard_axes[1] = "y"
 
     def sdf(x0, x1, x2):
         # cylinder(ignore_axes=[2], radius=5) evaluated per process block
         return np.sqrt(x0 ** 2 + x1 ** 2) - 5.0 + 0.0 * x2
 
     v0 = sharded_initial_condition(grid, sdf, mesh, shard_axes)
-    res = solve_sharded(
-        grid, system, v0, tau=jnp.array([0.0, t_end], jnp.float32),
-        shard_axes=shard_axes, mesh=mesh,
-        cfg=SchemeConfig(accuracy="veryHigh", rk_order=2), save_all=False)
+
+    def run():
+        t0 = time.perf_counter()
+        r = solve_sharded(
+            grid, system, v0, tau=jnp.array([0.0, t_end], jnp.float32),
+            shard_axes=shard_axes, mesh=mesh,
+            cfg=SchemeConfig(accuracy="veryHigh", rk_order=2),
+            save_all=False)
+        jax.block_until_ready(r.values)
+        return r, time.perf_counter() - t0
+
+    res, compile_s = run()       # first call compiles
+    res, solve_s = run()         # executable memoized: steady-state wall
     vals = res.values
     # global reductions over the sharded result: replicated scalars every
     # process can read (never gather the full grid to one host)
@@ -69,6 +91,11 @@ def solve_stats(n: int, t_end: float, shards: int, mesh=None) -> dict:
         "volume": float(jnp.mean((vals <= 0).astype(jnp.float32))),
         "processes": jax.process_count(),
         "devices": len(jax.devices()),
+        "mesh": {k: int(v) for k, v in
+                 zip(mesh.axis_names, mesh.devices.shape)},
+        # per-process timings (NOT replicated: each process reports its own)
+        "compile_s": round(compile_s, 3),
+        "solve_s": round(solve_s, 4),
     }
     return stats
 
@@ -85,46 +112,69 @@ def run_child(args) -> None:
                      process_id=args.process_id)
     import jax
 
-    stats = solve_stats(args.n, args.t_end, args.shards)
+    stats = solve_stats(args.n, args.t_end, args.shards, args.shards_y)
     print(f"[proc {jax.process_index()}] {stats}", flush=True)
-    if jax.process_index() == 0 and args.out:
-        pathlib.Path(args.out).write_text(json.dumps(stats))
+    if args.out:
+        # every process writes its own record (per-process timings); the
+        # spawner aggregates
+        pathlib.Path(f"{args.out}.p{jax.process_index()}").write_text(
+            json.dumps(stats))
 
 
 def run_spawn(args) -> None:
     """CPU rehearsal: K processes vs 1 process must agree."""
-    out = ROOT / "benchmarks" / "multiprocess_stats.json"
+    out = ROOT / "benchmarks" / (
+        f"multiprocess_stats_{args.spawn}p_{args.shards}x"
+        f"{max(args.shards_y, 1)}.json")
+    port = 12421 + (args.spawn * 7 + args.shards_y) % 101  # avoid reuse
     procs = []
     for pid in range(args.spawn):
         cmd = [sys.executable, __file__, "--child",
-               "--coordinator", "127.0.0.1:12421",
+               "--coordinator", f"127.0.0.1:{port}",
                "--num-processes", str(args.spawn), "--process-id", str(pid),
                "--local-devices", str(args.local_devices),
                "--n", str(args.n), "--t-end", str(args.t_end),
-               "--shards", str(args.shards)]
-        if pid == 0:
-            cmd += ["--out", str(out)]
+               "--shards", str(args.shards),
+               "--shards-y", str(args.shards_y),
+               "--out", str(out)]
         env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
         procs.append(subprocess.Popen(cmd, env=env))
     for p in procs:
         if p.wait(timeout=600):
             raise SystemExit(f"child exited {p.returncode}")
-    multi = json.loads(out.read_text())
+    per_proc = [json.loads(pathlib.Path(f"{out}.p{pid}").read_text())
+                for pid in range(args.spawn)]
+    multi = per_proc[0]
 
     # single-process reference on the same number of (virtual) devices
+    n_dev = args.spawn * args.local_devices
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_force_host_platform_device_count="
-                                 f"{args.shards}").strip()
-    single = solve_stats(args.n, args.t_end, args.shards)
+                                 f"{n_dev}").strip()
+    single = solve_stats(args.n, args.t_end, args.shards, args.shards_y)
     print(f"[single]  {single}")
     print(f"[multi ]  {multi}")
     assert multi["steps"] == single["steps"], "step counts diverge"
     for k in ("max_abs", "sum", "volume"):
         rel = abs(multi[k] - single[k]) / max(abs(single[k]), 1e-12)
         assert rel < 1e-5, f"{k} diverges: {multi[k]} vs {single[k]}"
+    # aggregate artifact: replicated stats + per-process wall clocks
+    record = {**{k: multi[k] for k in ("steps", "max_abs", "sum", "volume",
+                                       "processes", "devices", "mesh")},
+              "n": args.n, "t_end": args.t_end,
+              "single_process": {"compile_s": single["compile_s"],
+                                 "solve_s": single["solve_s"]},
+              "per_process": [
+                  {"process": i, "compile_s": s["compile_s"],
+                   "solve_s": s["solve_s"]}
+                  for i, s in enumerate(per_proc)]}
+    out.write_text(json.dumps(record, indent=2))
+    for pid in range(args.spawn):
+        pathlib.Path(f"{out}.p{pid}").unlink(missing_ok=True)
     print(f"OK: {args.spawn}-process solve matches single-process "
-          f"({args.shards} shards, n={args.n})")
+          f"({args.shards}x{max(args.shards_y, 1)} shards, n={args.n}); "
+          f"wrote {out}")
 
 
 def main():
@@ -132,6 +182,9 @@ def main():
     ap.add_argument("--n", type=int, default=32)
     ap.add_argument("--t-end", type=float, default=0.2)
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--shards-y", type=int, default=0,
+                    help="second mesh axis size (2-axis process-spanning "
+                         "mesh sharding grid axes 0 and 1)")
     ap.add_argument("--spawn", type=int, default=0,
                     help="CPU rehearsal: spawn K processes and verify "
                          "against single-process")
@@ -152,7 +205,7 @@ def main():
         from levelsetpy_tpu.parallel import init_distributed
 
         init_distributed()
-        print(solve_stats(args.n, args.t_end, args.shards))
+        print(solve_stats(args.n, args.t_end, args.shards, args.shards_y))
 
 
 if __name__ == "__main__":
