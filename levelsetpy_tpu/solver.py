@@ -598,7 +598,8 @@ def solve(
 def _cached_batch_run(grid, cfg, comp_method, n_batch, discount_mode,
                       has_discount, converge_threshold, ignore_boundary,
                       save_all, use_precomputed, record_ttr, progress,
-                      stop_set_mode, has_noise, nan_guard):
+                      stop_set_mode, has_noise, nan_guard,
+                      obstacles_tv=False, targets_tv=False):
     """Jitted batch-LAST solver entry (see :func:`solve_batch`)."""
     from .terms import batched_ops
 
@@ -621,8 +622,8 @@ def _cached_batch_run(grid, cfg, comp_method, n_batch, discount_mode,
         return _solve_core(
             grid=grid, cfg=cfg, comp_method=comp_method, system=system,
             v0=v0, tau=tau, xs=xs, ops=batched_ops(grid),
-            obstacles=obstacles, obstacles_tv=False,
-            targets=targets, targets_tv=False,
+            obstacles=obstacles, obstacles_tv=obstacles_tv,
+            targets=targets, targets_tv=targets_tv,
             gamma=gamma, discount_mode=discount_mode,
             has_discount=has_discount,
             stop_state=stop_state, stop_set=stop_set,
@@ -678,8 +679,10 @@ def solve_batch(
     against the trailing lane axis natively), ``v0`` either shared
     (``grid.shape``) or per-scenario (``(*grid.shape, B)``), obstacles /
     targets / stop sets shared or per-scenario, ``discount_factor`` scalar
-    or ``(B,)``.  Time-varying obstacle/target stacks are not supported in
-    batch mode (use ``jax.vmap(solve)``).
+    or ``(B,)``.  Obstacles/targets additionally accept per-tau stacks —
+    ``(len(tau), *grid.shape)`` shared or ``(len(tau), *grid.shape, B)``
+    per-scenario (the reference's time-varying obstacle semantics,
+    ``hji_solver.py:209-228,641-644``, in the sweep path).
 
     Batch-size inference: when ``n_batch`` is not given and ``v0`` has no
     trailing batch axis, EVERY system array leaf with ``ndim >= 1`` is
@@ -727,25 +730,40 @@ def solve_batch(
                 "Kene discounting supports only minVWithL/maxVWithL "
                 f"comp methods (got {comp_method!r})")
 
-    def _check_static(name, arr):
-        if arr is None:
-            return None
-        arr = jnp.asarray(arr, v0.dtype)
-        if arr.shape not in (grid.shape, (*grid.shape, n_batch)):
-            raise ValueError(
-                f"{name} must be grid-shaped or trailing-batched in batch "
-                f"mode (got {arr.shape}); time-varying stacks need "
-                "jax.vmap(solve)")
-        if arr.shape == grid.shape:
-            # trailing singleton so shared operands broadcast across the
-            # scenario lane axis (numpy aligns trailing dims)
-            arr = arr[..., None]
-        return arr
+    n_tau = tau.shape[0]
 
-    obstacles = _check_static("obstacles", obstacles)
-    targets = _check_static("targets", targets)
+    def _check_operand(name, arr, allow_tv=False):
+        """Normalize to trailing-batched form; returns (arr, is_tv).
+
+        Accepted: grid-shaped / trailing-batched (static), and — for
+        obstacles/targets — per-tau stacks ``(T, *grid)`` shared across
+        scenarios or ``(T, *grid, B)`` per-scenario (ref hji_solver.py:
+        209-228,641-644 per-tau obstacle semantics, now in the sweep path
+        too).  A trailing singleton broadcasts shared operands across the
+        scenario lane axis (numpy aligns trailing dims)."""
+        if arr is None:
+            return None, False
+        arr = jnp.asarray(arr, v0.dtype)
+        if arr.shape in (grid.shape, (*grid.shape, n_batch)):
+            return (arr[..., None] if arr.shape == grid.shape else arr,
+                    False)
+        tv_shapes = ((n_tau, *grid.shape), (n_tau, *grid.shape, n_batch))
+        if allow_tv and arr.shape in tv_shapes:
+            return (arr[..., None] if arr.ndim == nd + 1 else arr, True)
+        raise ValueError(
+            f"{name} shape {arr.shape} not supported in batch mode "
+            f"(want {grid.shape}, (*grid, B){', or a (T, ...) stack of '
+            'either' if allow_tv else ''})")
+
+    def _check_static(name, arr):
+        return _check_operand(name, arr)[0]
+
+    obstacles, obstacles_tv = _check_operand("obstacles", obstacles,
+                                             allow_tv=True)
+    targets, targets_tv = _check_operand("targets", targets, allow_tv=True)
     if obstacles is not None:
-        v0 = jnp.maximum(v0, -obstacles)
+        obs0 = obstacles[0] if obstacles_tv else obstacles
+        v0 = jnp.maximum(v0, -obs0)
 
     if stop_set_include is not None and stop_set_intersect is not None:
         raise ValueError(
@@ -789,6 +807,7 @@ def solve_batch(
         discount_factor is not None, converge_threshold, ignore_boundary,
         save_all, use_precomputed, record_ttr, progress,
         stop_set_mode, noise_sigma is not None, nan_guard,
+        obstacles_tv, targets_tv,
     )
     values, changes, stop_index, steps, ttr, nan_index = run(
         system, v0, tau, xs, obstacles, targets, gamma,

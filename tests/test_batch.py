@@ -156,13 +156,49 @@ class TestBatchFeatures:
             np.testing.assert_allclose(res.values[..., b], single.values,
                                        atol=1e-10)
 
-    def test_rejects_time_varying_operands(self):
+    def test_time_varying_obstacles_match_single(self):
+        """Per-tau obstacle stacks (ref hji_solver.py:209-228,641-644) in
+        the sweep path: shared (T, *grid) stack across a heterogeneous
+        batch must match per-element solves with the same stack."""
+        tau = jnp.linspace(0.0, 0.6, 4)
+        # a moving obstacle: a ball drifting right over the tau checkpoints
+        obs_tv = jnp.stack([
+            sphere(self.g, center=[0.5 + 0.2 * i, 0.0], radius=0.3,
+                   dtype=jnp.float64) for i in range(4)])
+        u = jnp.array([1.0, 0.4])
+        res = solve_batch(self.g, DoubleIntegrator(u_max=u), self.target,
+                          tau, cfg=self.cfg, obstacles=obs_tv)
+        for b in range(2):
+            single = solve(self.g, DoubleIntegrator(u_max=float(u[b])),
+                           self.target, tau, cfg=self.cfg, obstacles=obs_tv)
+            np.testing.assert_allclose(res.values[..., b], single.values,
+                                       atol=1e-10)
+
+    def test_time_varying_targets_per_scenario(self):
+        """(T, *grid, B) per-scenario target stacks through minVWithL."""
+        tau = jnp.linspace(0.0, 0.4, 3)
+        tgts = jnp.stack([
+            jnp.stack([sphere(self.g, radius=0.5 + 0.1 * i + 0.05 * b,
+                              dtype=jnp.float64)
+                       for b in range(2)], axis=-1)
+            for i in range(3)])
+        res = solve_batch(self.g, DoubleIntegrator(u_max=1.0), self.target,
+                          tau, cfg=self.cfg, comp_method="minVWithL",
+                          targets=tgts, n_batch=2)
+        for b in range(2):
+            single = solve(self.g, DoubleIntegrator(u_max=1.0), self.target,
+                           tau, cfg=self.cfg, comp_method="minVWithL",
+                           targets=tgts[..., b])
+            np.testing.assert_allclose(res.values[..., b], single.values,
+                                       atol=1e-10)
+
+    def test_rejects_bad_operand_shapes(self):
         tau = jnp.linspace(0.0, 0.5, 3)
-        obs_tv = jnp.stack([self.target + 1.0] * 3)
+        bad = jnp.zeros((5, *self.g.shape))    # wrong leading length
         try:
             solve_batch(self.g, DoubleIntegrator(u_max=1.0), self.target,
-                        tau, cfg=self.cfg, n_batch=2, obstacles=obs_tv)
+                        tau, cfg=self.cfg, n_batch=2, obstacles=bad)
         except ValueError as e:
             assert "batch" in str(e)
         else:
-            raise AssertionError("expected ValueError for tv obstacles")
+            raise AssertionError("expected ValueError for bad shapes")
