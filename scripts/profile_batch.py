@@ -24,7 +24,9 @@ def main():
     ap.add_argument("--batches", type=int, nargs="*", default=[128, 256])
     ap.add_argument("--blocks", type=str, nargs="*",
                     default=["4x4", "8x4", "8x8"])
-    ap.add_argument("--k", type=int, nargs=2, default=[32, 128])
+    ap.add_argument("--fast", action="store_true",
+                    help="one loop length only (fewer remote compiles)")
+    ap.add_argument("--k", type=int, nargs=2, default=[16, 64])
     args = ap.parse_args()
 
     import jax
@@ -82,6 +84,11 @@ def main():
         trustworthy number (link overhead < 1%), the short one a linearity
         check against remote-noise artifacts."""
         k0, k1 = args.k
+        if args.fast:
+            t1 = timed(runner(cfg, nb, k1, payload), payload[0])
+            print(f"B={nb} {label}: {t1 / k1 * 1e3:.3f} ms/RHS (K={k1})",
+                  flush=True)
+            return t1 / k1
         t0 = timed(runner(cfg, nb, k0, payload), payload[0])
         t1 = timed(runner(cfg, nb, k1, payload), payload[0])
         print(f"B={nb} {label}: {t1 / k1 * 1e3:.3f} ms/RHS "
