@@ -208,13 +208,16 @@ def bench_sweep(batch=1024, n=31, t_end=0.25):
          note="vs_baseline = batch x measured numpy per-solve wall / wall")
 
 
-def bench_sweep_batchlast(batch=1024, n=31, t_end=0.25, chunk=256):
+def bench_sweep_batchlast(batch=1024, n=31, t_end=0.25, chunk=256,
+                          use_pallas=False):
     """BASELINE config #3 through ``solve_batch`` (batch-LAST layout): the
     scenario axis rides the 128-wide lane axis, so the 31-point grid axes
-    never pad vregs — measured 2x+ over ``jax.vmap(solve)`` on v5e.
-    Chunked at 256 scenarios per program call: one monolithic 1024-wide
-    call is HBM-working-set bound (172 solves/s vs 264 at 256, v5e A/B
-    2026-08-20)."""
+    never pad vregs.  ``use_pallas=True`` additionally routes every RK
+    substep through the persistent-layout fused batch kernel
+    (kernels/wenobatch.py — per-scenario dt in the packed rows, in-kernel
+    z ghost fill).  Chunked at 256 scenarios per program call: one
+    monolithic 1024-wide call is HBM-working-set bound (172 solves/s vs
+    264 at 256, v5e A/B 2026-08-20)."""
     import jax.numpy as jnp
 
     from levelsetpy_tpu import (DubinsRel, SchemeConfig, create_grid,
@@ -224,7 +227,8 @@ def bench_sweep_batchlast(batch=1024, n=31, t_end=0.25, chunk=256):
     grid = create_grid(lo, hi, n, periodic_dims=[2])
     target = cylinder(grid, ignore_axes=[2], radius=5.0)
     tau = jnp.array([0.0, t_end], jnp.float32)
-    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                       use_pallas=use_pallas)
     ves = jnp.linspace(3.0, 7.0, batch)
     ws = jnp.linspace(0.5, 2.0, batch)
 
@@ -245,8 +249,9 @@ def bench_sweep_batchlast(batch=1024, n=31, t_end=0.25, chunk=256):
                for e in (1e-6, 2e-6, 3e-6))
     vmap_wall = next((r["value"] for r in RECORDS
                       if r["metric"].startswith("dubins_sweep_1")), None)
-    emit(f"dubins_sweep_batchlast_{batch}x{n}cube_T{t_end}", wall, "s",
-         (vmap_wall / wall) if vmap_wall else 0.0,
+    suffix = "_pallas" if use_pallas else ""
+    emit(f"dubins_sweep_batchlast{suffix}_{batch}x{n}cube_T{t_end}", wall,
+         "s", (vmap_wall / wall) if vmap_wall else 0.0,
          solves_per_s=round(batch / wall, 2),
          note="vs_baseline = vmap-layout wall / batch-last wall")
 
@@ -426,6 +431,8 @@ def main():
         bench_sweep(batch=args.sweep_batch)
     if "sweep_batchlast" not in args.skip:
         bench_sweep_batchlast(batch=args.sweep_batch)
+    if "sweep_batchlast_pallas" not in args.skip:
+        bench_sweep_batchlast(batch=args.sweep_batch, use_pallas=True)
     if "rocket4d" not in args.skip:
         bench_rocket4d_sharded()
     if "flock3d" not in args.skip:

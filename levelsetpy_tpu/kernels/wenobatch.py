@@ -50,7 +50,9 @@ from ..grid import Grid
 from .hjstep import _weno_roll_axis
 from .weno3d import _weno_axis01
 
-__all__ = ["fused_hj_rhs_batch", "fits_vmem_batch", "pick_blocks",
+__all__ = ["fused_hj_rhs_batch", "fused_substep_batch",
+           "fused_rk_step_batch", "lift_batch", "lower_batch",
+           "refresh_xy_ghosts_batch", "fits_vmem_batch", "pick_blocks",
            "batch_system_closures", "batch_leaves_ok", "LANE_CHUNK"]
 
 #: lane-axis chunk each block processes (one full vreg width)
@@ -58,9 +60,12 @@ LANE_CHUNK = 128
 
 #: packed-row layout: rows 0-2 = per-axis eps, 3-5 = per-axis 1/eps,
 #: 6 = per-scenario time (batch elements integrate at their own CFL pace,
-#: so t is a (B,) vector), 7.. = flattened system parameter leaves
+#: so t is a (B,) vector), 7 = per-scenario RK substep coefficient
+#: cdt = rk_coef * dt (only the substep kernel reads it), 8.. = flattened
+#: system parameter leaves
 _T_ROW = 6
-_PARAM_ROW0 = 7
+_CDT_ROW = 7
+_PARAM_ROW0 = 8
 
 
 def _aligned_z(grid: Grid) -> int:
@@ -81,30 +86,35 @@ def batch_leaves_ok(system, n_batch: int) -> bool:
 
 
 def fits_vmem_batch(grid: Grid, n_batch: int, block_x: int, block_y: int,
-                    dtype_bytes: int = 4,
+                    lane_chunk: int = LANE_CHUNK, dtype_bytes: int = 4,
                     budget_bytes: int = 12 * 1024 * 1024) -> bool:
     """Feasibility of the double-buffered working set for given block dims."""
-    if grid.ndim != 3 or n_batch % LANE_CHUNK:
+    if grid.ndim != 3 or n_batch % lane_chunk or lane_chunk % LANE_CHUNK:
         return False
     x, y, _ = grid.shape
     bx, by = min(block_x, x), min(block_y, y)
     zs = _aligned_z(grid)
-    slab = (bx + 6) * (by + 6) * zs * LANE_CHUNK * dtype_bytes
-    interior = bx * by * zs * LANE_CHUNK * dtype_bytes
+    slab = (bx + 6) * (by + 6) * zs * lane_chunk * dtype_bytes
+    interior = bx * by * zs * lane_chunk * dtype_bytes
     # 2 slabs + 2 out stages + ~10 live interior-sized WENO temporaries
     return 2 * slab + 2 * interior + 10 * interior < budget_bytes
 
 
-def pick_blocks(grid: Grid, n_batch: int) -> tuple[int, int] | None:
-    """Largest (block_x, block_y) from the preference list that fits VMEM.
+def pick_blocks(grid: Grid, n_batch: int) -> tuple[int, int, int] | None:
+    """Largest (block_x, block_y, lane_chunk) preference that fits VMEM.
 
-    Bigger blocks amortize the ghost-overlap DMA re-reads (a (bx+6)(by+6)
-    slab feeds only bx*by outputs); the v5e budget caps them well below the
-    single-grid kernel's because every temp carries 128 scenario lanes.
+    A lane chunk covering the WHOLE batch keeps every DMA run contiguous
+    (slicing k of B lanes strides the copy into 4*k-byte runs); bigger
+    (bx, by) blocks amortize the ghost-overlap re-reads.  The v5e budget
+    caps both well below the single-grid kernel's because every temp
+    carries the scenario lanes.
     """
-    for bx, by in ((8, 8), (8, 4), (4, 4), (4, 2), (2, 2), (1, 1)):
-        if fits_vmem_batch(grid, n_batch, bx, by):
-            return bx, by
+    for lc in (min(n_batch, 512), min(n_batch, 256), LANE_CHUNK):
+        if lc % LANE_CHUNK:
+            continue
+        for bx, by in ((8, 8), (8, 4), (4, 4), (4, 2), (2, 2), (1, 1)):
+            if fits_vmem_batch(grid, n_batch, bx, by, lc):
+                return bx, by, lc
     return None
 
 
@@ -158,6 +168,21 @@ def batch_system_closures(grid: Grid, system, dtype, n_batch: int):
     return param_rows, ham_fn, alpha_fn
 
 
+def _build_pack(eps, inv_eps, t, cdt, param_rows, B, dtype):
+    """Per-scenario packed rows (layout at the top of this module); rows
+    padded to a sublane multiple so column-chunk DMA slices stay
+    tile-aligned."""
+    def _rows(a, n):
+        return jnp.broadcast_to(
+            jnp.asarray(a, dtype).reshape(n, -1), (n, B))
+
+    pack = jnp.concatenate(
+        [_rows(eps, 3), _rows(eps if inv_eps is None else inv_eps, 3),
+         _rows(t, 1), _rows(cdt, 1), param_rows.astype(dtype)], axis=0)
+    rp = -(-pack.shape[0] // 8) * 8
+    return jnp.pad(pack, ((0, rp - pack.shape[0]), (0, 0))), rp
+
+
 def fused_hj_rhs_batch(
     grid: Grid,
     ham_fn: Callable,
@@ -169,6 +194,7 @@ def fused_hj_rhs_batch(
     inv_eps=None,                # (3,)/(3, B) 1/eps -> 1-divide combine
     block_x: int = 4,
     block_y: int = 4,
+    lane_chunk: int = LANE_CHUNK,
 ) -> jnp.ndarray:
     """One fused batched RHS evaluation: ``V_dot = -(H - diss)``, (x,y,z,B).
 
@@ -180,32 +206,24 @@ def fused_hj_rhs_batch(
     x, y, z = xp - 6, yp - 6, zp0 - 6
     if (x, y, z) != grid.shape:
         raise ValueError(f"padded shape {v_pad.shape} != grid {grid.shape}")
-    if B % LANE_CHUNK:
-        raise ValueError(f"batch {B} must be a multiple of {LANE_CHUNK}")
+    lc = lane_chunk
+    if B % lc or lc % LANE_CHUNK:
+        raise ValueError(f"batch {B} must be a multiple of the lane chunk "
+                         f"{lc} (itself a multiple of {LANE_CHUNK})")
     bx, by = min(block_x, x), min(block_y, y)
     zs = _aligned_z(grid)
     dtype = v_pad.dtype
     inv_dx = tuple(float(1.0 / d) for d in grid.dx)
     scaled = inv_eps is not None
 
-    # pack per-scenario rows: eps(3) / inv_eps(3) / t(1) / params(L); pad
-    # rows to a sublane multiple so column-chunk DMA slices stay tile-aligned
-    def _rows(a, n):
-        return jnp.broadcast_to(
-            jnp.asarray(a, dtype).reshape(n, -1), (n, B))
-
-    pack = jnp.concatenate(
-        [_rows(eps, 3), _rows(eps if inv_eps is None else inv_eps, 3),
-         _rows(t, 1), param_rows.astype(dtype)], axis=0)
-    rp = -(-pack.shape[0] // 8) * 8
-    pack = jnp.pad(pack, ((0, rp - pack.shape[0]), (0, 0)))
+    pack, rp = _build_pack(eps, inv_eps, t, 0.0, param_rows, B, dtype)
 
     # tile-align the trailing-2 dims (z, B): junk z rows at the far end
     v_pad = jnp.pad(v_pad, ((0, 0), (0, 0), (0, zs - zp0), (0, 0)))
 
     n_bx = pl.cdiv(x, bx)
     n_by = pl.cdiv(y, by)
-    n_c = B // LANE_CHUNK
+    n_c = B // lc
     n_blocks = n_c * n_bx * n_by
 
     def kernel(vpad_hbm, pack_hbm, out_hbm, slabs, packs, stages,
@@ -218,17 +236,17 @@ def fused_hj_rhs_batch(
             bj = r - bi * n_by
             sx = jnp.minimum(bi * bx, x - bx)       # clamped tail: overlap
             sy = jnp.minimum(bj * by, y - by)       # recomputes same values
-            return pl.multiple_of(c * LANE_CHUNK, LANE_CHUNK), sx, sy
+            return pl.multiple_of(c * lc, LANE_CHUNK), sx, sy
 
         def in_dmas(slot, k):
             co, sx, sy = decode(k)
             return (
                 pltpu.make_async_copy(
                     vpad_hbm.at[pl.ds(sx, bx + 6), pl.ds(sy, by + 6), :,
-                                pl.ds(co, LANE_CHUNK)],
+                                pl.ds(co, lc)],
                     slabs.at[slot], sems_in.at[slot, 0]),
                 pltpu.make_async_copy(
-                    pack_hbm.at[:, pl.ds(co, LANE_CHUNK)],
+                    pack_hbm.at[:, pl.ds(co, lc)],
                     packs.at[slot], sems_in.at[slot, 1]),
             )
 
@@ -237,7 +255,7 @@ def fused_hj_rhs_batch(
             return pltpu.make_async_copy(
                 stages.at[slot],
                 out_hbm.at[pl.ds(sx, bx), pl.ds(sy, by), :,
-                           pl.ds(co, LANE_CHUNK)],
+                           pl.ds(co, lc)],
                 sems_out.at[slot])
 
         def compute(slot, k):
@@ -317,9 +335,9 @@ def fused_hj_rhs_batch(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((x, y, zs, B), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, bx + 6, by + 6, zs, LANE_CHUNK), dtype),  # slabs
-            pltpu.VMEM((2, rp, LANE_CHUNK), dtype),                  # packs
-            pltpu.VMEM((2, bx, by, zs, LANE_CHUNK), dtype),          # stages
+            pltpu.VMEM((2, bx + 6, by + 6, zs, lc), dtype),  # slabs
+            pltpu.VMEM((2, rp, lc), dtype),                  # packs
+            pltpu.VMEM((2, bx, by, zs, lc), dtype),          # stages
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -332,3 +350,324 @@ def fused_hj_rhs_batch(
     )
     # drop the ghost/junk z rows (one cheap XLA slice)
     return out[:, :, 3:3 + z, :]
+
+
+# ----------------------------------------------- persistent-layout substep
+# Kernel-only profiling (2026-08-20, scripts/profile_batch.py --kernel-only)
+# put the batched RHS kernel at ~2.3 ms/launch at 31^3 x 256 but the
+# kernel-ROUTED hj_rhs at ~14.6 ms (XLA ~17): the per-substep XLA glue
+# (3 ghost pads, the zs alignment pad, the epsilon pass, the output slice)
+# costs ~12 ms — XLA runs these batch-last passes at a fraction of HBM
+# bandwidth.  The fix mirrors the single-grid hjstep kernel: keep the value
+# function PERSISTENTLY in the aligned ghost-padded layout (x+6, y+6, zs, B)
+# across a whole tau interval and fuse one entire TVD-RK substep
+#
+#     out = ca * va + cb * vb + cdt(B) * f(vb),   f = -(H - diss)
+#
+# per launch, with the comp-method masking fused into the final substep, the
+# z-axis ghost fill done in-kernel from the updated interior, and only the
+# x/y ghost SHELLS refreshed by O(surface) XLA updates
+# (:func:`refresh_xy_ghosts_batch`).  cdt is PER-SCENARIO — each batch
+# element advances under its own CFL dt (zero once it finishes the
+# interval, which freezes it exactly like the XLA loop's exit).
+
+
+def lift_batch(grid: Grid, v: jnp.ndarray) -> jnp.ndarray:
+    """(x, y, z, B) batch-last values -> aligned ghost-padded
+    ``(x+6, y+6, zs, B)``; called once per tau interval."""
+    from ..boundary import pad_axis
+
+    for axis in range(3):
+        v = pad_axis(grid, v, axis, 3)
+    zs = _aligned_z(grid)
+    return jnp.pad(v, ((0, 0), (0, 0), (0, zs - v.shape[2]), (0, 0)))
+
+
+def lower_batch(grid: Grid, vq: jnp.ndarray) -> jnp.ndarray:
+    """Aligned batch layout -> interior (x, y, z, B) view."""
+    x, y, z = grid.shape
+    return jax.lax.slice(vq, (3, 3, 3, 0),
+                         (3 + x, 3 + y, 3 + z, vq.shape[3]))
+
+
+def _fill_ghost_z(a, n, periodic):
+    """Overwrite the 3 ghost layers of the (sublane) z axis from the
+    interior — the 4-D batch-last counterpart of ``hjstep._fill_ghost``
+    (z is NOT the lane axis here, so plain sublane slices serve as the
+    edge reads)."""
+    def _roll(arr, s):
+        return pltpu.roll(arr, s % arr.shape[2], 2)
+
+    i = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
+    if periodic:
+        lo_vals = _roll(a, -n)
+        a = jnp.where(i < 3, lo_vals, a)
+        hi_vals = _roll(a, n)
+        return jnp.where((i >= n + 3) & (i < n + 6), hi_vals, a)
+    dtype = a.dtype
+
+    def at(idx):
+        return jax.lax.slice_in_dim(a, idx, idx + 1, axis=2)
+
+    edge_lo, inner_lo = at(3), at(4)
+    slope_lo = jnp.abs(edge_lo - inner_lo) * jnp.sign(edge_lo)
+    a = jnp.where(i < 3, edge_lo + (3 - i).astype(dtype) * slope_lo, a)
+    edge_hi, inner_hi = at(n + 2), at(n + 1)
+    slope_hi = jnp.abs(edge_hi - inner_hi) * jnp.sign(edge_hi)
+    return jnp.where((i >= n + 3) & (i < n + 6),
+                     edge_hi + (i - (n + 2)).astype(dtype) * slope_hi, a)
+
+
+def refresh_xy_ghosts_batch(grid: Grid, vq: jnp.ndarray) -> jnp.ndarray:
+    """Recompute the 3-deep ghost shells of axes 0 and 1 from the interior
+    (O(surface) ``dynamic_update_slice`` passes; the kernel fills z).
+
+    y runs first so the x refresh reads rows whose y ghosts are valid;
+    the x ghost rows span the full y extent, covering the corners."""
+    def one_axis(a, axis, n, periodic):
+        if periodic:
+            glo = jax.lax.slice_in_dim(a, n, n + 3, axis=axis)
+            ghi = jax.lax.slice_in_dim(a, 3, 6, axis=axis)
+        else:
+            edge_lo = jax.lax.slice_in_dim(a, 3, 4, axis=axis)
+            inner_lo = jax.lax.slice_in_dim(a, 4, 5, axis=axis)
+            slope_lo = jnp.abs(edge_lo - inner_lo) * jnp.sign(edge_lo)
+            glo = jnp.concatenate(
+                [edge_lo + k * slope_lo for k in (3.0, 2.0, 1.0)],
+                axis=axis)
+            edge_hi = jax.lax.slice_in_dim(a, n + 2, n + 3, axis=axis)
+            inner_hi = jax.lax.slice_in_dim(a, n + 1, n + 2, axis=axis)
+            slope_hi = jnp.abs(edge_hi - inner_hi) * jnp.sign(edge_hi)
+            ghi = jnp.concatenate(
+                [edge_hi + k * slope_hi for k in (1.0, 2.0, 3.0)],
+                axis=axis)
+        a = jax.lax.dynamic_update_slice_in_dim(a, glo, 0, axis=axis)
+        return jax.lax.dynamic_update_slice_in_dim(a, ghi, n + 3,
+                                                   axis=axis)
+
+    vq = one_axis(vq, 1, grid.shape[1], grid.periodic[1])
+    return one_axis(vq, 0, grid.shape[0], grid.periodic[0])
+
+
+def fused_substep_batch(
+    grid: Grid,
+    ham_fn: Callable,
+    alpha_fn: Callable,
+    vb: jnp.ndarray,             # (x+6, y+6, zs, B) aligned, stencil input
+    va: jnp.ndarray,             # same layout; affine/comp operand
+    eps,                         # (3,) or (3, B)
+    t,                           # (B,) per-scenario substep time
+    inv_eps,                     # (3,)/(3, B) or None
+    cd,                          # (B,) per-scenario rk_coef * dt
+    param_rows: jnp.ndarray,     # (L, B)
+    *,
+    ca: float,
+    cb: float,
+    comp: str | None = None,
+    comp_src: str = "va",
+    restrict: str | None = None,
+    block_x: int = 4,
+    block_y: int = 4,
+    lane_chunk: int = LANE_CHUNK,
+) -> jnp.ndarray:
+    """One fused batched RK substep in the persistent aligned layout; the
+    output's z ghosts are filled in-kernel — call
+    :func:`refresh_xy_ghosts_batch` after."""
+    xp, yp, zs, B = vb.shape
+    x, y, z = grid.shape
+    if (xp, yp, zs) != (x + 6, y + 6, _aligned_z(grid)):
+        raise ValueError(f"state shape {vb.shape} != aligned batch layout "
+                         f"{(x + 6, y + 6, _aligned_z(grid))}")
+    lc = lane_chunk
+    if B % lc or lc % LANE_CHUNK:
+        raise ValueError(f"batch {B} not a multiple of lane chunk {lc}")
+    bx, by = min(block_x, x), min(block_y, y)
+    dtype = vb.dtype
+    inv_dx = tuple(float(1.0 / d) for d in grid.dx)
+    scaled = inv_eps is not None
+    need_va = (ca != 0.0) or (comp is not None and comp_src == "va")
+
+    pack, rp = _build_pack(eps, inv_eps, t, cd, param_rows, B, dtype)
+
+    n_bx = pl.cdiv(x, bx)
+    n_by = pl.cdiv(y, by)
+    n_blocks = (B // lc) * n_bx * n_by
+
+    def kernel(vb_hbm, va_hbm, pack_hbm, out_hbm, slabs, vas, packs, stages,
+               sems_in, sems_out):
+        def decode(k):
+            c = k // (n_bx * n_by)
+            r = k - c * (n_bx * n_by)
+            bi = r // n_by
+            bj = r - bi * n_by
+            sx = jnp.minimum(bi * bx, x - bx)
+            sy = jnp.minimum(bj * by, y - by)
+            return pl.multiple_of(c * lc, LANE_CHUNK), sx, sy
+
+        def in_dmas(slot, k):
+            co, sx, sy = decode(k)
+            dmas = [
+                pltpu.make_async_copy(
+                    vb_hbm.at[pl.ds(sx, bx + 6), pl.ds(sy, by + 6), :,
+                              pl.ds(co, lc)],
+                    slabs.at[slot], sems_in.at[slot, 0]),
+                pltpu.make_async_copy(
+                    pack_hbm.at[:, pl.ds(co, lc)],
+                    packs.at[slot], sems_in.at[slot, 1]),
+            ]
+            if need_va:
+                dmas.append(pltpu.make_async_copy(
+                    va_hbm.at[pl.ds(sx + 3, bx), pl.ds(sy + 3, by), :,
+                              pl.ds(co, lc)],
+                    vas.at[slot], sems_in.at[slot, 2]))
+            return dmas
+
+        def out_dma(slot, k):
+            co, sx, sy = decode(k)
+            return pltpu.make_async_copy(
+                stages.at[slot],
+                out_hbm.at[pl.ds(sx + 3, bx), pl.ds(sy + 3, by), :,
+                           pl.ds(co, lc)],
+                sems_out.at[slot])
+
+        def compute(slot, k):
+            pk = packs.at[slot]
+
+            def epsq(ax):
+                e = pk[ax:ax + 1, :].reshape(1, 1, 1, -1)
+                iv = (pk[3 + ax:4 + ax, :].reshape(1, 1, 1, -1)
+                      if scaled else None)
+                return (e, iv)
+
+            _, sx, sy = decode(k)
+            g = slabs[slot]
+            g0 = g[:, 3:3 + by]
+            d1 = (g0[1:] - g0[:-1]) * inv_dx[0]
+            dl0, dr0 = _weno_axis01(d1, 0, bx, epsq(0))
+            g1 = g[3:3 + bx]
+            d1 = (g1[:, 1:] - g1[:, :-1]) * inv_dx[1]
+            dl1, dr1 = _weno_axis01(d1, 1, by, epsq(1))
+            g2 = g[3:3 + bx, 3:3 + by]
+            dl2, dr2 = _weno_roll_axis(g2, 2, inv_dx[2], epsq(2))
+
+            starts = (sx, sy, -3)
+            p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
+            ham = ham_fn(starts, p, pk)
+            shape = g2.shape
+            diss = (0.5 * (dr0 - dl0) * alpha_fn(starts, shape, pk, 0)
+                    + 0.5 * (dr1 - dl1) * alpha_fn(starts, shape, pk, 1)
+                    + 0.5 * (dr2 - dl2) * alpha_fn(starts, shape, pk, 2))
+            f = -(ham - diss)
+            if restrict == "min":
+                f = jnp.minimum(f, 0.0)
+            elif restrict == "max":
+                f = jnp.maximum(f, 0.0)
+
+            cdt4 = pk[_CDT_ROW:_CDT_ROW + 1, :].reshape(1, 1, 1, -1)
+            out = cb * g2 + cdt4 * f
+            if ca != 0.0:
+                out = out + ca * vas[slot]
+            if comp is not None:
+                src = vas[slot] if comp_src == "va" else g2
+                out = (jnp.minimum(out, src) if comp == "min"
+                       else jnp.maximum(out, src))
+
+            # z ghost fill from the freshly updated interior (full z per
+            # block); x/y shells are the caller's O(surface) refresh
+            out = _fill_ghost_z(out, z, grid.periodic[2])
+
+            @pl.when(k >= 2)
+            def _():
+                out_dma(slot, k - 2).wait()
+
+            stages[slot] = out
+            out_dma(slot, k).start()
+
+        for d in in_dmas(0, jnp.int32(0)):
+            d.start()
+
+        def pair_body(pi, carry):
+            for slot in (0, 1):
+                k = 2 * pi + slot
+
+                @pl.when(k < n_blocks)
+                def _():
+                    @pl.when(k + 1 < n_blocks)
+                    def _():
+                        for d in in_dmas(1 - slot, k + 1):
+                            d.start()
+                    for d in in_dmas(slot, k):
+                        d.wait()
+                    compute(slot, k)
+            return carry
+
+        jax.lax.fori_loop(0, pl.cdiv(n_blocks, 2), pair_body, jnp.int32(0))
+        for kk in (n_blocks - 2, n_blocks - 1):
+            if kk >= 0:
+                out_dma(kk % 2, jnp.int32(kk)).wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),    # vb
+            pl.BlockSpec(memory_space=pltpu.HBM),    # va
+            pl.BlockSpec(memory_space=pltpu.HBM),    # packed rows
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((xp, yp, zs, B), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bx + 6, by + 6, zs, lc), dtype),  # vb slabs
+            pltpu.VMEM((2, bx, by, zs, lc), dtype),          # va centers
+            pltpu.VMEM((2, rp, lc), dtype),                  # packs
+            pltpu.VMEM((2, bx, by, zs, lc), dtype),          # out stages
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(vb, va, pack)
+
+
+def fused_rk_step_batch(grid: Grid, cfg, system, t, vq, t_target,
+                        alpha_bounds, comp: str | None, n_batch: int):
+    """One CFL-limited TVD-RK step on the aligned batch state ``vq`` with
+    per-scenario dt and the comp-method fused into the final substep —
+    the batch-last analog of ``hjstep.fused_rk_step``."""
+    from ..terms import batched_ops, pallas_epsilon
+
+    dtype = vq.dtype
+    param_rows, ham_fn, alpha_fn = batch_system_closures(
+        grid, system, dtype, n_batch)
+    dt = jnp.minimum(cfg.factor_cfl * alpha_bounds.step_bound, t_target - t)
+    if cfg.max_step != float("inf"):
+        dt = jnp.minimum(dt, cfg.max_step)
+    dt = jnp.broadcast_to(dt, (n_batch,))
+    ops = batched_ops(grid)
+    scaled = cfg.epsilon_method == "maxOverGrid"
+    bx, by, lc = pick_blocks(grid, n_batch)
+
+    def sub(vb, va, tt, cd, ca, cb, fuse_comp, comp_src="va"):
+        eps = pallas_epsilon(grid, cfg, vb, ops)
+        o = fused_substep_batch(
+            grid, ham_fn, alpha_fn, vb, va, eps, tt,
+            (1.0 / eps) if scaled else None, cd, param_rows,
+            ca=ca, cb=cb, comp=fuse_comp, comp_src=comp_src,
+            restrict=cfg.restrict_update, block_x=bx, block_y=by,
+            lane_chunk=lc)
+        return refresh_xy_ghosts_batch(grid, o)
+
+    if cfg.rk_order == 1:
+        v_new = sub(vq, vq, t, dt, 0.0, 1.0, comp, comp_src="vb")
+    elif cfg.rk_order == 2:
+        v1 = sub(vq, vq, t, dt, 0.0, 1.0, None)
+        v_new = sub(v1, vq, t + dt, 0.5 * dt, 0.5, 0.5, comp)
+    elif cfg.rk_order == 3:
+        v1 = sub(vq, vq, t, dt, 0.0, 1.0, None)
+        v2 = sub(v1, vq, t + dt, 0.25 * dt, 0.75, 0.25, None)
+        v_new = sub(v2, vq, t + 0.5 * dt, (2.0 / 3.0) * dt,
+                    1.0 / 3.0, 2.0 / 3.0, comp)
+    else:
+        raise ValueError(f"rk_order must be 1, 2 or 3; got {cfg.rk_order}")
+    return t + dt, v_new

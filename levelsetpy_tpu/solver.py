@@ -143,15 +143,22 @@ def _solve_core(
     # masking fused into the final substep.  Only for configurations whose
     # per-step work the kernel covers exactly; everything else falls back to
     # the (also Pallas-accelerated) hj_rhs path below.
-    use_fused_step = (
-        allow_fused and alpha_bounds is not None and n_batch is None
-        and grid.ndim == 3   # the persistent-layout RK kernel is 3-D only
-        and pallas_eligible(grid, cfg, v0, system)
+    fused_ok = (
+        allow_fused and alpha_bounds is not None and grid.ndim == 3
         and comp_method in ("none", "set", "zero",
                             "minVOverTime", "maxVOverTime")
         and obstacles is None and targets is None and not has_discount
         and noise_sigma is None
     )
+    use_fused_step = (fused_ok and n_batch is None
+                      and pallas_eligible(grid, cfg, v0, system))
+    # batch-LAST persistent-layout substep kernel (kernels/wenobatch.py):
+    # same conditions, per-scenario dt/time in the packed rows
+    from .terms import batch_pallas_eligible
+
+    use_fused_batch = (
+        fused_ok and n_batch is not None
+        and batch_pallas_eligible(grid, cfg, n_batch, system, v0))
     comp_flag = {"minVOverTime": "min", "maxVOverTime": "max"}.get(
         comp_method)
 
@@ -236,30 +243,48 @@ def _solve_core(
                 t, _, _, _ = c
                 return jnp.any(t < t1 - small)
 
-            if use_fused_step:
-                from .kernels import hjstep
+            if use_fused_step or use_fused_batch:
+                if use_fused_batch:
+                    from .kernels import wenobatch as fmod
+
+                    lift = fmod.lift_batch
+                    lower = fmod.lower_batch
+
+                    def rk_step(t, vq):
+                        return fmod.fused_rk_step_batch(
+                            grid, cfg, system, t, vq, t1, alpha_bounds,
+                            comp_flag, n_batch)
+                else:
+                    from .kernels import hjstep
+
+                    lift = hjstep.lift
+                    lower = hjstep.lower
+
+                    def rk_step(t, vq):
+                        return hjstep.fused_rk_step(
+                            grid, cfg, system, t, vq, t1, alpha_bounds,
+                            comp_flag)
 
                 def body(c):
                     t, vq, n, ttr = c
-                    t_new, vq_new = hjstep.fused_rk_step(
-                        grid, cfg, system, t, vq, t1, alpha_bounds,
-                        comp_flag)
+                    t_new, vq_new = rk_step(t, vq)
                     if record_ttr:
-                        v_last = hjstep.lower(grid, vq)
-                        v_cur = hjstep.lower(grid, vq_new)
+                        v_last = lower(grid, vq)
+                        v_cur = lower(grid, vq_new)
                         crossed = ((v_last > 0) & (v_cur <= 0)
                                    & jnp.isinf(ttr))
                         frac = v_last / jnp.where(
                             v_last != v_cur, v_last - v_cur, 1.0)
+                        # per-scenario times broadcast along the trailing
+                        # lane axis in batch mode
                         ttr = jnp.where(crossed, t + (t_new - t) * frac,
                                         ttr)
                     return t_new, vq_new, n + 1, ttr
 
                 _, vq, n, ttr = jax.lax.while_loop(
                     cond, body,
-                    (t0, hjstep.lift(grid, v),
-                     jnp.zeros((), jnp.int32), ttr))
-                return hjstep.lower(grid, vq), n, ttr
+                    (t0, lift(grid, v), jnp.zeros((), jnp.int32), ttr))
+                return lower(grid, vq), n, ttr
 
             def body(c):
                 t, v, n, ttr = c
@@ -632,7 +657,7 @@ def _cached_batch_run(grid, cfg, comp_method, n_batch, discount_mode,
             converge_threshold=converge_threshold,
             trim=trim, save_all=save_all, use_precomputed=use_precomputed,
             record_ttr=record_ttr, progress=progress,
-            allow_fused=False, eval_fn=eval_fn, nan_guard=nan_guard,
+            allow_fused=True, eval_fn=eval_fn, nan_guard=nan_guard,
             n_batch=n_batch,
         )
 

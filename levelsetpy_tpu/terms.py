@@ -338,10 +338,10 @@ def hj_rhs(
             grid, system, v.dtype, n_batch)
         inv_eps = (1.0 / eps if cfg.epsilon_method == "maxOverGrid"
                    else None)
-        bx, by = pick_blocks(grid, n_batch)
+        bx, by, lc = pick_blocks(grid, n_batch)
         v_dot = fused_hj_rhs_batch(grid, ham_fn, alpha_fn, v_pad, eps, t,
                                    param_rows, inv_eps=inv_eps,
-                                   block_x=bx, block_y=by)
+                                   block_x=bx, block_y=by, lane_chunk=lc)
         if cfg.restrict_update == "min":
             v_dot = jnp.minimum(v_dot, 0.0)
         elif cfg.restrict_update == "max":

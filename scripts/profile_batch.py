@@ -26,6 +26,9 @@ def main():
                     default=["4x4", "8x4", "8x8"])
     ap.add_argument("--fast", action="store_true",
                     help="one loop length only (fewer remote compiles)")
+    ap.add_argument("--kernel-only", action="store_true",
+                    help="time fused_hj_rhs_batch alone (pre-padded input, "
+                         "constant eps) to split kernel cost from XLA glue")
     ap.add_argument("--k", type=int, nargs=2, default=[16, 64])
     args = ap.parse_args()
 
@@ -70,6 +73,35 @@ def main():
             return v
         return f
 
+    def kernel_runner(nb, k, payload, bx, by, lc):
+        """Scan of bare kernel launches: one elementwise pass of input
+        perturbation per iteration (serializing data dependency), zero
+        other glue."""
+        from levelsetpy_tpu.boundary import pad_axis
+        from levelsetpy_tpu.kernels.wenobatch import (batch_system_closures,
+                                                      fused_hj_rhs_batch)
+
+        v, system, xs, ops, ab = payload
+        rows, ham, alpha = batch_system_closures(grid, system, v.dtype, nb)
+
+        @jax.jit
+        def f(v):
+            vp = v
+            for ax in range(3):
+                vp = pad_axis(grid, vp, ax, 3)
+            eps = jnp.full((3,), 1e-6, v.dtype)
+
+            def body(s, _):
+                d = fused_hj_rhs_batch(grid, ham, alpha, vp + s, eps, 0.0,
+                                       rows, inv_eps=None, block_x=bx,
+                                       block_y=by, lane_chunk=lc)
+                return s + d[0, 0, 0, 0] * 1e-20, None
+
+            s, _ = jax.lax.scan(body, jnp.zeros((), v.dtype), None,
+                                length=k)
+            return s
+        return f
+
     def timed(f, v):
         np.asarray(f(v))  # compile+warm
         best = np.inf
@@ -97,18 +129,36 @@ def main():
 
     for nb in args.batches:
         payload = setup(nb)
+        if args.kernel_only:
+            k1 = args.k[1]
+            for blk in args.blocks:
+                parts = list(map(int, blk.split("x")))
+                bx, by = parts[0], parts[1]
+                lc = parts[2] if len(parts) > 2 else 128
+                try:
+                    f = kernel_runner(nb, k1, payload, bx, by, lc)
+                    t1 = timed(f, payload[0])
+                    print(f"B={nb} kernel-only {bx}x{by}x{lc}: "
+                          f"{t1 / k1 * 1e3:.3f} ms/launch (K={k1})",
+                          flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"B={nb} kernel-only {bx}x{by}x{lc}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
         cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
         tx = per_rhs(cfg_x, nb, payload, "xla")
         for blk in args.blocks:
-            bx, by = map(int, blk.split("x"))
-            # route the kernel to this block size regardless of the
+            parts = list(map(int, blk.split("x")))
+            bx, by = parts[0], parts[1]
+            lc = parts[2] if len(parts) > 2 else 128
+            # route the kernel to this block shape regardless of the
             # fits heuristic (A/B exploration)
             orig_pick = wenobatch.pick_blocks
-            wenobatch.pick_blocks = lambda g, nb_: (bx, by)
+            wenobatch.pick_blocks = lambda g, nb_: (bx, by, lc)
             try:
                 cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2,
                                      use_pallas=True)
-                tp = per_rhs(cfg_p, nb, payload, f"pallas {bx}x{by}")
+                tp = per_rhs(cfg_p, nb, payload, f"pallas {bx}x{by}x{lc}")
                 print(f"    -> {tx / tp:.2f}x xla", flush=True)
             except Exception as e:  # noqa: BLE001 - report and continue
                 print(f"B={nb} pallas {bx}x{by}: FAILED {type(e).__name__}: "

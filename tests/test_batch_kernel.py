@@ -95,6 +95,74 @@ def test_batch_solve_matches_xla(interpret_pallas):
     assert int(r1.steps) == int(r2.steps)
 
 
+def test_batch_fused_substep_route_is_taken():
+    """The minVOverTime no-operand config must satisfy the fused-substep
+    eligibility (guards against silent fallback making the solve tests
+    vacuous)."""
+    from levelsetpy_tpu.terms import batch_pallas_eligible
+
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       (14, 12, 16), periodic_dims=[2])
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    system = DubinsRel(v_e=jnp.linspace(3.0, 7.0, B), v_p=5.0, w_bound=1.0)
+    assert batch_pallas_eligible(grid, cfg_p, B, system)
+
+
+@pytest.mark.parametrize("rk_order", [1, 3])
+def test_batch_substep_heterogeneous_dt(interpret_pallas, rk_order):
+    """Heterogeneous CFL bounds: per-scenario dt rides the packed cdt row
+    and early finishers freeze via dt=0 — must match the XLA batch path
+    which freezes via the active mask."""
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       (12, 12, 16), periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], radius=5.0)
+    # strongly heterogeneous speeds -> very different step counts
+    system = DubinsRel(
+        v_e=jnp.concatenate([jnp.full((64,), 2.0, jnp.float32),
+                             jnp.full((64,), 8.0, jnp.float32)]),
+        v_p=5.0,
+        w_bound=jnp.linspace(0.5, 2.0, B, dtype=jnp.float32))
+    tau = jnp.array([0.0, 0.12], jnp.float32)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=rk_order)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=rk_order,
+                         use_pallas=True)
+    r1 = solve_batch(grid, system, target.astype(jnp.float32), tau,
+                     cfg=cfg_x, save_all=False, record_ttr=True)
+    r2 = solve_batch(grid, system, target.astype(jnp.float32), tau,
+                     cfg=cfg_p, save_all=False, record_ttr=True)
+    scale = float(jnp.max(jnp.abs(r1.values)))
+    np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
+                               atol=1e-5 * scale)
+    assert int(r1.steps) == int(r2.steps)
+    m = np.isfinite(np.asarray(r1.ttr))
+    assert (np.isfinite(np.asarray(r2.ttr)) == m).all()
+    np.testing.assert_allclose(np.asarray(r2.ttr)[m], np.asarray(r1.ttr)[m],
+                               atol=1e-5)
+
+
+def test_batch_substep_nonperiodic_z(interpret_pallas):
+    """Extrapolation ghost fill on the z (sublane) axis through the
+    in-kernel _fill_ghost_z path."""
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       (12, 12, 14))  # NO periodic dims
+    xs3 = grid.mesh_broadcastable(jnp.float32)
+    v0 = (cylinder(grid, ignore_axes=[2], radius=5.0)
+          + 0.4 * jnp.sin(xs3[2]) * jnp.cos(0.3 * xs3[0]))
+    system = DubinsRel(v_e=jnp.linspace(3.0, 7.0, B, dtype=jnp.float32),
+                       v_p=5.0, w_bound=1.0)
+    tau = jnp.array([0.0, 0.1], jnp.float32)
+    r1 = solve_batch(grid, system, v0, tau,
+                     cfg=SchemeConfig(accuracy="veryHigh", rk_order=2),
+                     save_all=False)
+    r2 = solve_batch(grid, system, v0, tau,
+                     cfg=SchemeConfig(accuracy="veryHigh", rk_order=2,
+                                      use_pallas=True),
+                     save_all=False)
+    scale = float(jnp.max(jnp.abs(r1.values)))
+    np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
+                               atol=1e-5 * scale)
+
+
 def test_batch_kernel_ineligible_fallbacks(interpret_pallas):
     """B not a multiple of 128 and vector system leaves silently fall back
     to the XLA path with identical values."""
