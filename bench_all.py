@@ -176,13 +176,16 @@ def bench_sweep(batch=1024, n=31, t_end=0.25):
 
     params = jnp.stack([jnp.linspace(3.0, 7.0, batch),
                         jnp.linspace(0.5, 2.0, batch)], axis=1)
-    sweep = jax.jit(jax.vmap(solve_one))
-    np.asarray(sweep(params))  # compile + warm
+    # fetch a checksum, not the 122 MB result: this measures DEVICE
+    # throughput (matching the headline bench's block_until_ready
+    # convention) — over the remote axon tunnel a full-array fetch costs
+    # ~3.5 s and was the real bound on the r2 sweep records
+    sweep = jax.jit(lambda p: jnp.sum(jax.vmap(solve_one)(p)))
+    float(sweep(params))  # compile + warm
 
-    def run():
-        np.asarray(sweep(params))
-
-    wall = _best_of(run)
+    # perturb per call: identical executions can hit a remote result cache
+    wall = min(_timed(lambda e=e: float(sweep(params + e)))
+               for e in (1e-6, 2e-6, 3e-6))
 
     # numpy per-solve baseline: ONE FULL measured solve (middle parameters),
     # cached — the dt-extrapolated estimate this replaces inherited ~50%
@@ -205,7 +208,9 @@ def bench_sweep(batch=1024, n=31, t_end=0.25):
     emit(f"dubins_sweep_{batch}x{n}cube_T{t_end}", wall, "s",
          cpu_per_solve * batch / wall,
          solves_per_s=round(batch / wall, 2),
-         note="vs_baseline = batch x measured numpy per-solve wall / wall")
+         note="vs_baseline = batch x measured numpy per-solve wall / wall; "
+              "device throughput (checksum fetch — a full-array fetch "
+              "over the remote tunnel adds ~3.5s and is not device cost)")
 
 
 def bench_sweep_batchlast(batch=1024, n=31, t_end=0.25, chunk=256,
@@ -233,14 +238,17 @@ def bench_sweep_batchlast(batch=1024, n=31, t_end=0.25, chunk=256,
     ws = jnp.linspace(0.5, 2.0, batch)
 
     def run(eps=0.0):
-        outs = []
+        # dispatch every chunk, then fetch per-chunk checksums: device
+        # throughput, free of the ~3.5 s remote-tunnel array fetch (see
+        # bench_sweep note) and with cross-chunk dispatch overlap
+        sums = []
         for c in range(0, batch, chunk):
             r = solve_batch(grid,
                             DubinsRel(v_e=ves[c:c + chunk] + eps, v_p=5.0,
                                       w_bound=ws[c:c + chunk] + eps),
                             target, tau, cfg=cfg, save_all=False)
-            outs.append(r.values)
-        return np.asarray(jnp.concatenate(outs, axis=-1))
+            sums.append(jnp.sum(r.values))
+        return [float(s) for s in sums]
 
     run()  # compile + warm (several minutes over the tunnel)
     # perturb parameters per call: identical executions can be served from
@@ -253,7 +261,8 @@ def bench_sweep_batchlast(batch=1024, n=31, t_end=0.25, chunk=256,
     emit(f"dubins_sweep_batchlast{suffix}_{batch}x{n}cube_T{t_end}", wall,
          "s", (vmap_wall / wall) if vmap_wall else 0.0,
          solves_per_s=round(batch / wall, 2),
-         note="vs_baseline = vmap-layout wall / batch-last wall")
+         note="vs_baseline = vmap-layout wall / batch-last wall; device "
+              "throughput (checksum fetch)")
 
 
 def bench_rocket4d_sharded(shape=(48, 48, 24, 24), t_end=0.3):

@@ -109,13 +109,20 @@ def pick_blocks(grid: Grid, n_batch: int) -> tuple[int, int, int] | None:
     caps both well below the single-grid kernel's because every temp
     carries the scenario lanes.
     """
+    best = None
     for lc in (min(n_batch, 512), min(n_batch, 256), LANE_CHUNK):
         if lc % LANE_CHUNK:
             continue
         for bx, by in ((8, 8), (8, 4), (4, 4), (4, 2), (2, 2), (1, 1)):
             if fits_vmem_batch(grid, n_batch, bx, by, lc):
-                return bx, by, lc
-    return None
+                # rank by block volume (amortizes ghosts + per-block
+                # overhead), then by lane-chunk width (DMA contiguity)
+                vol = min(bx, grid.shape[0]) * min(by, grid.shape[1]) * lc
+                key = (vol, lc)
+                if best is None or key > best[0]:
+                    best = (key, (bx, by, lc))
+                break  # smaller blocks at this lc are strictly worse
+    return best[1] if best else None
 
 
 def batch_system_closures(grid: Grid, system, dtype, n_batch: int):
