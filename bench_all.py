@@ -301,6 +301,22 @@ def bench_rocket4d_sharded(shape=(48, 48, 24, 24), t_end=0.3):
          note="vs_baseline = unsharded wall / sharded wall "
               "(sharding overhead at mesh size 1; no numpy reference)")
 
+    # fused 4-D substep kernel (kernels/hjstep4d.py, packed lane layout)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+
+    def run_fused():
+        r = solve(grid, system, target, tau, cfg=cfg_p, save_all=False)
+        np.asarray(r.values)
+        return r
+
+    rf = run_fused()
+    fused_s = _best_of(run_fused)
+    emit(f"rocket4d_{'x'.join(map(str, shape))}_fused_T{t_end}",
+         fused_s, "s", single_s / fused_s,
+         steps=int(rf.steps),
+         note="vs_baseline = XLA-path wall / fused-kernel wall "
+              "(same device; no numpy reference)")
+
 
 def bench_flock3d(n=71, agents=5, t_end=0.4):
     """BASELINE config #4 (flock multi-agent reachability, sharded): the

@@ -56,7 +56,7 @@ from .weno3d import (_smoothness, _weno_axis01, _weno_eval,
                      _weno_weight_tables, aligned_dims)
 
 __all__ = ["lift", "lower", "refresh_x_ghosts", "fused_substep_3d",
-           "fused_rk_step"]
+           "fused_rk_step", "initial_epsilon"]
 
 
 # --------------------------------------------------------------- layout moves
@@ -113,7 +113,7 @@ def _roll(a, s, axis):
     return pltpu.roll(a, s % a.shape[axis], axis)
 
 
-def _weno_roll_axis(g, axis, inv_dx, epsq):
+def _weno_roll_axis(g, axis, inv_dx, epsq, want_d1=False, stride=1):
     """derivL/derivR along a tiled axis (1 or 2) via rotations, full width.
 
     ``D1[m] = (g[m+1] - g[m]) / dx`` lives at index m; the node at padded
@@ -121,10 +121,20 @@ def _weno_roll_axis(g, axis, inv_dx, epsq):
     ``D1[m-2 .. m+2]`` (reversed).  Same shared-table sharing as
     ``weno3d._weno_axis01``; indices outside the ghost-padded interior
     hold wrap-around garbage the caller overwrites or ignores.
+
+    With ``want_d1`` the raw D1 table is also returned (read by the
+    lagged-epsilon epilogue; costs nothing — it is computed anyway).
+
+    ``stride`` > 1 differentiates a PACKED sub-axis riding the lane axis
+    (hjstep4d: lane = z*(w+6) + w): every rotation is scaled by the
+    sub-axis stride, so the same shared-table code serves the outer packed
+    dimension.  Ghost layers inside the packing absorb the stencil reach,
+    so no group-boundary fixups are needed (see hjstep4d module docstring).
     """
-    d1 = (_roll(g, -1, axis) - g) * inv_dx
-    w = tuple(_roll(d1, 3 - k, axis) for k in range(5))  # w[k][m]=D1[m-3+k]
-    u5 = _roll(d1, -2, axis)                             # D1[m+2]
+    d1 = (_roll(g, -stride, axis) - g) * inv_dx
+    w = tuple(_roll(d1, (3 - k) * stride, axis)
+              for k in range(5))                         # w[k][m]=D1[m-3+k]
+    u5 = _roll(d1, -2 * stride, axis)                    # D1[m+2]
     p1l = w[0] * (1 / 3) - w[1] * (7 / 6) + w[2] * (11 / 6)
     p2l = -w[1] * (1 / 6) + w[2] * (5 / 6) + w[3] * (1 / 3)
     p3l = w[2] * (1 / 3) + w[3] * (5 / 6) - w[4] * (1 / 6)
@@ -133,7 +143,10 @@ def _weno_roll_axis(g, axis, inv_dx, epsq):
     dl = _weno_eval((p1l, p2l, p3l), a1, a2, a3)
     dr = _weno_eval(
         (p1r, p3l, p2l),
-        _roll(a3, -1, axis), _roll(a2, -1, axis), _roll(a1, -1, axis))
+        _roll(a3, -stride, axis), _roll(a2, -stride, axis),
+        _roll(a1, -stride, axis))
+    if want_d1:
+        return dl, dr, d1
     return dl, dr
 
 
@@ -192,9 +205,29 @@ def fused_substep_3d(
     comp_src: str = "va",        # comp operand: 'va' or 'vb'
     restrict: str | None = None,  # clamp f sign ('min'/'max'/None)
     block_x: int = 8,
+    want_eps: bool = False,
 ) -> jnp.ndarray:
     """One fused RK substep; returns ``out`` in the same aligned layout with
-    y/z ghost layers filled (call :func:`refresh_x_ghosts` after)."""
+    y/z ghost layers filled (call :func:`refresh_x_ghosts` after).
+
+    With ``want_eps`` the kernel additionally returns ``d1max``: per-axis
+    masked maxima of ``D1^2`` over the INPUT ``vb``'s stencil tables,
+    accumulated across blocks into a ``(3, yp, zp)`` plane stack (final
+    cross-plane max is one tiny XLA reduction).  This feeds the
+    lagged-epsilon scheme (VERDICT r2 #5): the next substep's maxOverGrid
+    epsilon is taken from THIS substep's input — one substep stale, within
+    the dissipation-choice freedom of ref ``hji_solver.py:433-434`` — which
+    deletes the standalone full-grid eps pass (2 x ~0.015 ms/step at 101^3)
+    at the cost of ~4 VPU ops/elem on tables the kernel already computes.
+
+    Masking: each table is restricted to the index range the standalone
+    ``terms.pallas_epsilon`` reduces over (one ghost layer along its own
+    axis, interior elsewhere).  Along x the per-block slab tables also
+    cover outer-ghost pairs; for both extrapolate ghosts (|D1| there equals
+    the edge pair's by construction of the slope fill) and periodic wrap
+    (duplicates of interior pairs) these are exact duplicates of in-range
+    entries, so the max is unchanged.
+    """
     xp, yp, zp = vb.shape
     x, y, z = grid.shape
     zp_e, _, yp_e = aligned_dims(grid)   # aligned_dims returns (zp, ny, yp)
@@ -211,9 +244,29 @@ def fused_substep_3d(
     scaled = inv_eps is not None
 
     def kernel(eps_ref, inv_ref, sc_ref, params_ref, vb_hbm, va_hbm, out_hbm,
-               slabs, vas, stages, sems_in, sems_out):
+               *rest):
+        if want_eps:
+            (epsacc, slabs, vas, stages, sems_in, sems_out) = rest
+        else:
+            (slabs, vas, stages, sems_in, sems_out) = rest
         tt = sc_ref[0]
         cdt = sc_ref[1]
+
+        if want_eps:
+            iy = jax.lax.broadcasted_iota(jnp.int32, (yp, zp), 0)
+            iz = jax.lax.broadcasted_iota(jnp.int32, (yp, zp), 1)
+            y_int = (iy >= 3) & (iy < y + 3)
+            z_int = (iz >= 3) & (iz < z + 3)
+            masks = (y_int & z_int,                          # axis-0 table
+                     (iy >= 2) & (iy < y + 4) & z_int,       # axis-1 table
+                     y_int & (iz >= 2) & (iz < z + 4))       # axis-2 table
+
+        def acc_eps(bi, ax, d1):
+            m = jnp.max(d1 * d1, axis=0)
+            m = jnp.where(masks[ax], m, jnp.zeros_like(m))
+            if bi > 0:
+                m = jnp.maximum(epsacc[ax], m)
+            epsacc[ax] = m
 
         def epsq(ax):
             return (eps_ref[ax], inv_ref[ax] if scaled else None)
@@ -254,8 +307,14 @@ def fused_substep_3d(
             d1 = (g[1:] - g[:-1]) * inv_dx[0]
             dl0, dr0 = _weno_axis01(d1, 0, block_x, epsq(0))
             # ---- axes 1, 2 (tiled): rotations, full width
-            dl1, dr1 = _weno_roll_axis(center, 1, inv_dx[1], epsq(1))
-            dl2, dr2 = _weno_roll_axis(center, 2, inv_dx[2], epsq(2))
+            dl1, dr1, d1_1 = _weno_roll_axis(center, 1, inv_dx[1], epsq(1),
+                                             want_d1=True)
+            dl2, dr2, d1_2 = _weno_roll_axis(center, 2, inv_dx[2], epsq(2),
+                                             want_d1=True)
+            if want_eps:
+                acc_eps(bi, 0, d1)
+                acc_eps(bi, 1, d1_1)
+                acc_eps(bi, 2, d1_2)
 
             starts = (start_x(bi), -3, -3)
             p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
@@ -293,6 +352,11 @@ def fused_substep_3d(
             if bi >= 0:
                 out_dma(bi % 2, bi).wait()
 
+    out_specs = pl.BlockSpec(memory_space=pltpu.HBM)
+    out_shape = jax.ShapeDtypeStruct((xp, yp, zp), dtype)
+    if want_eps:
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((3, yp, zp), dtype)]
     out = pl.pallas_call(
         kernel,
         grid=(),
@@ -304,8 +368,8 @@ def fused_substep_3d(
             pl.BlockSpec(memory_space=pltpu.HBM),    # vb
             pl.BlockSpec(memory_space=pltpu.HBM),    # va
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct((xp, yp, zp), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, block_x + 6, yp, zp), dtype),   # vb slabs
             pltpu.VMEM((2, block_x, yp, zp), dtype),       # va centers
@@ -329,18 +393,39 @@ def fused_substep_3d(
 
 
 # --------------------------------------------------------------- full RK step
+def initial_epsilon(grid: Grid, cfg, vq):
+    """Starting WENO epsilon for :func:`fused_rk_step`'s lagged carry,
+    computed with the standalone full-grid pass (exact maxOverGrid of the
+    interval's initial state)."""
+    from ..terms import local_ops, pallas_epsilon
+
+    return pallas_epsilon(grid, cfg, vq, local_ops(grid))
+
+
 def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
-                  comp: str | None):
+                  comp: str | None, eps):
     """One CFL-limited TVD-RK step on the aligned state ``vq`` with the
-    comp-method fused into the final substep.
+    comp-method fused into the final substep; returns
+    ``(t_new, v_new, eps_new)``.
 
     Exactly mirrors ``integration.cfl_step`` + the solver's per-step
     ``apply_comp`` for comp ∈ {None, 'min', 'max'} (minVOverTime /
     maxVOverTime semantics, ref ``hji_solver.py:536-599``).  Requires
     precomputed ``alpha_bounds`` (time-invariant alphas) — which also makes
     the CFL ``dt`` a pure function of remaining time.
+
+    ``eps`` is the per-axis WENO epsilon carried across substeps.  For
+    ``maxOverGrid`` it is LAGGED: each substep consumes the epsilon
+    computed by the previous substep's kernel epilogue from its own input
+    (seed the loop with :func:`initial_epsilon`).  The epsilon is a free
+    regularization parameter of the dissipation scheme (ref
+    ``hji_solver.py:433-434``); one-substep staleness shifts the WENO
+    weights by O(dt) and is covered by the accuracy gate vs the f64 oracle
+    (bench_all ``accuracy_101`` row).  For ``constant`` the carry passes
+    through untouched.
     """
-    from ..terms import local_ops, pallas_epsilon
+    import math as _math
+
     from .weno3d import system_closures
 
     dtype = vq.dtype
@@ -348,29 +433,33 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
     dt = jnp.minimum(cfg.factor_cfl * alpha_bounds.step_bound, t_target - t)
     if cfg.max_step != float("inf"):
         dt = jnp.minimum(dt, cfg.max_step)
-    ops = local_ops(grid)
 
     scaled = cfg.epsilon_method == "maxOverGrid"
+    floor = _math.sqrt(float(jnp.finfo(dtype).tiny))
 
-    def sub(vb, va, tt, cd, ca, cb, fuse_comp, comp_src="va"):
-        eps = pallas_epsilon(grid, cfg, vb, ops)
-        o = fused_substep_3d(
+    def sub(vb, va, eps, tt, cd, ca, cb, fuse_comp, comp_src="va"):
+        r = fused_substep_3d(
             grid, ham_fn, alpha_fn, vb, va, eps, tt,
             (1.0 / eps) if scaled else None, cd, flat_params,
             ca=ca, cb=cb, comp=fuse_comp, comp_src=comp_src,
-            restrict=cfg.restrict_update)
-        return refresh_x_ghosts(grid, o)
+            restrict=cfg.restrict_update, want_eps=scaled)
+        if scaled:
+            o, d1max = r
+            eps_next = 1e-6 * jnp.max(d1max, axis=(1, 2)) + floor
+        else:
+            o, eps_next = r, eps
+        return refresh_x_ghosts(grid, o), eps_next
 
     if cfg.rk_order == 1:
-        v_new = sub(vq, vq, t, dt, 0.0, 1.0, comp, comp_src="vb")
+        v_new, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, comp, comp_src="vb")
     elif cfg.rk_order == 2:
-        v1 = sub(vq, vq, t, dt, 0.0, 1.0, None)
-        v_new = sub(v1, vq, t + dt, 0.5 * dt, 0.5, 0.5, comp)
+        v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
+        v_new, eps = sub(v1, vq, eps, t + dt, 0.5 * dt, 0.5, 0.5, comp)
     elif cfg.rk_order == 3:
-        v1 = sub(vq, vq, t, dt, 0.0, 1.0, None)
-        v2 = sub(v1, vq, t + dt, 0.25 * dt, 0.75, 0.25, None)
-        v_new = sub(v2, vq, t + 0.5 * dt, (2.0 / 3.0) * dt,
-                    1.0 / 3.0, 2.0 / 3.0, comp)
+        v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
+        v2, eps = sub(v1, vq, eps, t + dt, 0.25 * dt, 0.75, 0.25, None)
+        v_new, eps = sub(v2, vq, eps, t + 0.5 * dt, (2.0 / 3.0) * dt,
+                         1.0 / 3.0, 2.0 / 3.0, comp)
     else:
         raise ValueError(f"rk_order must be 1, 2 or 3; got {cfg.rk_order}")
-    return t + dt, v_new
+    return t + dt, v_new, eps

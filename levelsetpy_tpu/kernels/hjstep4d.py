@@ -1,0 +1,448 @@
+"""Fused Pallas TPU kernel: one full RK substep of a 4-D HJ solve per launch.
+
+The 4-D configs (rocket pursuit-evasion 48x48x24x24, ref
+``DDPReach/rocket_system.py:76``; planar-flock patterns,
+``DynamicalSystems/flock.py:18``) ran pure XLA at 2.27 ms/RHS — 6x off the
+~0.37 ms HBM bound and 16x off the ~0.14 ms VPU bound
+(``scripts/profile_4d.py``, 2026-08-20).  The problem is layout: a trailing
+dim of 24 leaves 81% of every 128-lane vector register empty, and XLA's
+per-op evaluation pays ~25 HBM passes per RHS on top.
+
+This kernel fixes both with a PACKED LANE LAYOUT:
+
+    state  (x+6, yp, L)   with   lane l  =  z_pad * (w+6) + w_pad,
+
+i.e. the last TWO grid axes ride the lane axis together, ghost layers
+included (``L`` = (z+6)*(w+6) rounded up to 128).  For 24x24 that is
+900/1024 useful lanes instead of 30/128.  The payoff of packing the ghost
+layers INTO the lane axis: every stencil along z is a plain lane rotation
+by ``(w+6)*k`` and every stencil along w a rotation by ``k`` — interior
+nodes never reach across a group boundary because the 3 ghost lanes of the
+neighbouring group absorb the 3-wide reach.  No masked fix-ups, no
+re-layouts; the shared-table WENO code (``hjstep._weno_roll_axis``) is
+reused verbatim with a ``stride`` parameter.
+
+Everything else mirrors ``hjstep`` (the 3-D persistent-layout substep
+kernel): x is the blocked untiled axis (double-buffered DMA slabs), y rides
+the sublanes, the Hamiltonian + dissipation bounds evaluate in-kernel from
+iota-reconstructed coordinates, the comp-method fuses into the final
+substep, output ghost layers for y/z/w are filled in-kernel and only the 6
+x-ghost ROWS are refreshed by the XLA post-pass
+(``hjstep.refresh_x_ghosts`` — axis-0 only, so it works unchanged on the
+packed layout).  The maxOverGrid WENO epsilon uses the same lagged
+epilogue as the 3-D kernel: per-axis masked maxima of D1^2 accumulate into
+a tiny VMEM output and feed the NEXT substep.
+
+Parity anchor: same WENO5/LF math as ``derivatives.py`` /
+``terms.hj_rhs`` (O&F (3.25)-(3.41)); equality to the XLA path is asserted
+in ``tests/test_hjstep4d.py`` at f32 tolerance.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..boundary import pad_axis
+from ..grid import Grid
+from .hjstep import (_fill_ghost, _roll, _weno_roll_axis, refresh_x_ghosts)
+from .weno3d import _weno_axis01, flatten_system
+
+__all__ = ["lift4", "lower4", "pack4", "fused_substep_4d",
+           "fused_rk_step_4d", "fused4d_eligible", "aligned_dims_4d",
+           "initial_epsilon_4d", "system_closures_4d"]
+
+
+# --------------------------------------------------------------- layout moves
+def aligned_dims_4d(grid: Grid) -> tuple[int, int, int]:
+    """Aligned buffer dims ``(L, yp, wwidth)`` for the packed layout:
+    lanes ``L`` = (z+6)(w+6) rounded to 128, sublanes ``yp`` = y+6 rounded
+    to 8, ``wwidth`` = w+6 (the packed stride of the z sub-axis)."""
+    _, y, z, w = grid.shape
+    wwidth = w + 6
+    L = -(-((z + 6) * wwidth) // 128) * 128
+    yp = -(-(y + 6) // 8) * 8
+    return L, yp, wwidth
+
+
+def pad4(grid: Grid, v: jnp.ndarray) -> jnp.ndarray:
+    """Ghost-pad all four axes (width 3) with the solver's BCs."""
+    for axis in range(4):
+        v = pad_axis(grid, v, axis, 3)
+    return v
+
+
+def pack4(grid: Grid, vp: jnp.ndarray) -> jnp.ndarray:
+    """Ghost-padded ``(x+6, y+6, z+6, w+6)`` -> aligned ``(x+6, yp, L)``."""
+    x, y, z, w = grid.shape
+    L, yp, wwidth = aligned_dims_4d(grid)
+    a = vp.reshape(x + 6, y + 6, (z + 6) * wwidth)
+    return jnp.pad(a, ((0, 0), (0, yp - (y + 6)), (0, L - a.shape[2])))
+
+
+def lift4(grid: Grid, v: jnp.ndarray) -> jnp.ndarray:
+    """Grid-shaped value function -> packed aligned layout (once per
+    interval)."""
+    return pack4(grid, pad4(grid, v))
+
+
+def lower4(grid: Grid, vq: jnp.ndarray) -> jnp.ndarray:
+    """Packed aligned layout -> interior grid-shaped view."""
+    x, y, z, w = grid.shape
+    wwidth = w + 6
+    a = jax.lax.slice(vq, (3, 3, 0), (3 + x, 3 + y, (z + 6) * wwidth))
+    a = a.reshape(x, y, z + 6, wwidth)
+    return jax.lax.slice(a, (0, 0, 3, 3), (x, y, 3 + z, 3 + w))
+
+
+# ------------------------------------------------------------- ghost fill
+def _fill_ghost_packed(a, n, stride, width, periodic):
+    """Overwrite the 3 ghost layers of a PACKED lane sub-axis from the
+    interior, matching ``boundary.pad_periodic`` / ``pad_extrapolate``.
+
+    The sub-axis index of lane ``l`` is ``(l // stride) % width`` with
+    ``width = n + 6``; ghost positions are [0,3) and [n+3,n+6).  All reads
+    are lane rotations from interior positions of the SAME group (inner
+    sub-axis) or the same lane offset (outer sub-axis), so junk lanes are
+    written but never read.
+    """
+    i = (jax.lax.broadcasted_iota(jnp.int32, a.shape, 2) // stride) % width
+    if periodic:
+        lo_vals = _roll(a, -n * stride, 2)      # a[l + n*stride]
+        a = jnp.where(i < 3, lo_vals, a)
+        hi_vals = _roll(a, n * stride, 2)       # a[l - n*stride]
+        return jnp.where((i >= n + 3) & (i < n + 6), hi_vals, a)
+    out = a
+    for k in range(3):
+        # low ghost at idx k: edge at idx 3 (distance 3-k), inner at 4
+        e = _roll(a, (k - 3) * stride, 2)       # a[l + (3-k)*stride]
+        inr = _roll(a, (k - 4) * stride, 2)
+        s = jnp.abs(e - inr) * jnp.sign(e)
+        out = jnp.where(i == k, e + (3.0 - k) * s, out)
+        # high ghost at idx n+3+k: edge at n+2 (distance k+1), inner at n+1
+        e2 = _roll(a, (k + 1) * stride, 2)      # a[l - (k+1)*stride]
+        in2 = _roll(a, (k + 2) * stride, 2)
+        s2 = jnp.abs(e2 - in2) * jnp.sign(e2)
+        out = jnp.where(i == n + 3 + k, e2 + (k + 1.0) * s2, out)
+    return out
+
+
+# --------------------------------------------------------- system closures
+def system_closures_4d(grid: Grid, system, dtype):
+    """Kernel-side Hamiltonian/alpha closures for the packed 4-D layout.
+
+    Like ``weno3d.system_closures`` but the last TWO grid axes share the
+    lane dimension: their coordinates are ``(1, 1, L)`` arrays derived from
+    the lane index (``z = l // (w+6) - 3``, ``w = l % (w+6) - 3``).  Axis
+    0/1 coords stay broadcastable singletons.
+    """
+    flat_params, rebuild = flatten_system(system, dtype)
+    _, _, wwidth = aligned_dims_4d(grid)
+
+    def coords_at(starts, shape):
+        bx, yps, L = shape
+        out = []
+        ix = jax.lax.broadcasted_iota(jnp.int32, (bx, 1, 1), 0) + starts[0]
+        out.append(grid.lo[0] + ix.astype(dtype) * grid.dx[0])
+        iy = jax.lax.broadcasted_iota(jnp.int32, (1, yps, 1), 1) - 3
+        out.append(grid.lo[1] + iy.astype(dtype) * grid.dx[1])
+        il = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+        iz = il // wwidth - 3
+        iw = il % wwidth - 3
+        out.append(grid.lo[2] + iz.astype(dtype) * grid.dx[2])
+        out.append(grid.lo[3] + iw.astype(dtype) * grid.dx[3])
+        return tuple(out)
+
+    def ham_fn(tt, start_x, p, params_ref):
+        sys_k = rebuild(params_ref)
+        return sys_k.hamiltonian(
+            tt, coords_at((start_x,), p[0].shape), p)
+
+    def alpha_fn(tt, start_x, shape, params_ref, axis):
+        sys_k = rebuild(params_ref)
+        return sys_k.alpha(tt, coords_at((start_x,), shape), None, None,
+                           axis)
+
+    return flat_params, ham_fn, alpha_fn
+
+
+# ------------------------------------------------------------------ the kernel
+def fused_substep_4d(
+    grid: Grid,
+    ham_fn: Callable,
+    alpha_fn: Callable,
+    vb: jnp.ndarray,             # (x+6, yp, L) packed, stencil input
+    va: jnp.ndarray,             # same layout; affine/comp operand
+    eps,                         # WENO epsilon per axis, shape (4,)
+    t,                           # substep time (traced scalar)
+    inv_eps,                     # per-axis 1/eps (4,) or None
+    cd,                          # coefficient of f: rk_coef * dt (traced)
+    params: jnp.ndarray,         # flat system parameters (SMEM)
+    *,
+    ca: float,
+    cb: float,
+    comp: str | None = None,
+    comp_src: str = "va",
+    restrict: str | None = None,
+    block_x: int = 8,
+    want_eps: bool = False,
+):
+    """One fused RK substep on the packed 4-D layout; returns ``out`` with
+    y/z/w ghost layers filled (call ``hjstep.refresh_x_ghosts`` after).
+    With ``want_eps`` also returns the per-axis masked D1^2 maxima planes
+    ``(4, yp, L)`` for the lagged-epsilon carry (see ``hjstep``)."""
+    xp, ypb, Lb = vb.shape
+    x, y, z, w = grid.shape
+    L, yp, wwidth = aligned_dims_4d(grid)
+    if (xp, ypb, Lb) != (x + 6, yp, L):
+        raise ValueError(f"state shape {vb.shape} != packed layout "
+                         f"{(x + 6, yp, L)}")
+    if x < block_x:
+        block_x = x
+    n_blocks = pl.cdiv(x, block_x)
+    dtype = vb.dtype
+    inv_dx = tuple(float(1.0 / d) for d in grid.dx)
+    need_va = (ca != 0.0) or (comp is not None and comp_src == "va")
+    scaled = inv_eps is not None
+
+    def kernel(eps_ref, inv_ref, sc_ref, params_ref, vb_hbm, va_hbm, out_hbm,
+               *rest):
+        if want_eps:
+            (epsacc, slabs, vas, stages, sems_in, sems_out) = rest
+        else:
+            (slabs, vas, stages, sems_in, sems_out) = rest
+        tt = sc_ref[0]
+        cdt = sc_ref[1]
+
+        def epsq(ax):
+            return (eps_ref[ax], inv_ref[ax] if scaled else None)
+
+        if want_eps:
+            iy = jax.lax.broadcasted_iota(jnp.int32, (yp, L), 0)
+            il = jax.lax.broadcasted_iota(jnp.int32, (yp, L), 1)
+            iz = il // wwidth            # no mod: junk lanes get iz >= z+6
+            iw = il % wwidth
+            y_int = (iy >= 3) & (iy < y + 3)
+            z_int = (iz >= 3) & (iz < z + 3)
+            w_int = (iw >= 3) & (iw < w + 3)
+            masks = (y_int & z_int & w_int,                       # axis-0
+                     (iy >= 2) & (iy < y + 4) & z_int & w_int,    # axis-1
+                     y_int & (iz >= 2) & (iz < z + 4) & w_int,    # axis-2
+                     y_int & z_int & (iw >= 2) & (iw < w + 4))    # axis-3
+
+        def acc_eps(bi, ax, d1):
+            m = jnp.max(d1 * d1, axis=0)
+            m = jnp.where(masks[ax], m, jnp.zeros_like(m))
+            if bi > 0:
+                m = jnp.maximum(epsacc[ax], m)
+            epsacc[ax] = m
+
+        def start_x(bi):
+            return jnp.minimum(bi * block_x, x - block_x)
+
+        def in_dmas(slot, bi):
+            sx = start_x(bi)
+            dmas = [pltpu.make_async_copy(
+                vb_hbm.at[pl.ds(sx, block_x + 6)], slabs.at[slot],
+                sems_in.at[slot, 0])]
+            if need_va:
+                dmas.append(pltpu.make_async_copy(
+                    va_hbm.at[pl.ds(sx + 3, block_x)], vas.at[slot],
+                    sems_in.at[slot, 1]))
+            return dmas
+
+        def out_dma(slot, bi):
+            return pltpu.make_async_copy(
+                stages.at[slot],
+                out_hbm.at[pl.ds(start_x(bi) + 3, block_x)],
+                sems_out.at[slot])
+
+        for d in in_dmas(0, 0):
+            d.start()
+        for bi in range(n_blocks):
+            slot = bi % 2
+            if bi + 1 < n_blocks:
+                for d in in_dmas(1 - slot, bi + 1):
+                    d.start()
+            for d in in_dmas(slot, bi):
+                d.wait()
+
+            g = slabs[slot]                      # (BX+6, yp, L)
+            center = g[3:3 + block_x]            # (BX, yp, L)
+            # ---- axis 0 (untiled): slices
+            d1 = (g[1:] - g[:-1]) * inv_dx[0]
+            dl0, dr0 = _weno_axis01(d1, 0, block_x, epsq(0))
+            # ---- axis 1 (sublane) and packed lane sub-axes z (stride
+            # w+6) and w (stride 1): rotations, full width
+            dl1, dr1, d1_1 = _weno_roll_axis(center, 1, inv_dx[1], epsq(1),
+                                             want_d1=True)
+            dl2, dr2, d1_2 = _weno_roll_axis(center, 2, inv_dx[2], epsq(2),
+                                             want_d1=True, stride=wwidth)
+            dl3, dr3, d1_3 = _weno_roll_axis(center, 2, inv_dx[3], epsq(3),
+                                             want_d1=True)
+            if want_eps:
+                acc_eps(bi, 0, d1)
+                acc_eps(bi, 1, d1_1)
+                acc_eps(bi, 2, d1_2)
+                acc_eps(bi, 3, d1_3)
+
+            sx = start_x(bi)
+            p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1),
+                 0.5 * (dl2 + dr2), 0.5 * (dl3 + dr3))
+            ham = ham_fn(tt, sx, p, params_ref)
+            shape = center.shape
+            diss = (0.5 * (dr0 - dl0) * alpha_fn(tt, sx, shape, params_ref, 0)
+                    + 0.5 * (dr1 - dl1)
+                    * alpha_fn(tt, sx, shape, params_ref, 1)
+                    + 0.5 * (dr2 - dl2)
+                    * alpha_fn(tt, sx, shape, params_ref, 2)
+                    + 0.5 * (dr3 - dl3)
+                    * alpha_fn(tt, sx, shape, params_ref, 3))
+            f = -(ham - diss)
+            if restrict == "min":
+                f = jnp.minimum(f, 0.0)
+            elif restrict == "max":
+                f = jnp.maximum(f, 0.0)
+
+            out = cb * center + cdt * f
+            if ca != 0.0:
+                out = out + ca * vas[slot]
+            if comp is not None:
+                src = vas[slot] if comp_src == "va" else center
+                out = (jnp.minimum(out, src) if comp == "min"
+                       else jnp.maximum(out, src))
+
+            # ghost fill of the OUTPUT: y (sublane), then z and w (packed)
+            out = _fill_ghost(out, 1, y, grid.periodic[1])
+            out = _fill_ghost_packed(out, z, wwidth, z + 6,
+                                     grid.periodic[2])
+            out = _fill_ghost_packed(out, w, 1, wwidth, grid.periodic[3])
+
+            if bi >= 2:
+                out_dma(slot, bi - 2).wait()
+            stages[slot] = out
+            out_dma(slot, bi).start()
+        for bi in (n_blocks - 2, n_blocks - 1):
+            if bi >= 0:
+                out_dma(bi % 2, bi).wait()
+
+    out_specs = pl.BlockSpec(memory_space=pltpu.HBM)
+    out_shape = jax.ShapeDtypeStruct((xp, yp, L), dtype)
+    if want_eps:
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((4, yp, L), dtype)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # eps
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # inv_eps
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # [t, cd]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # params
+            pl.BlockSpec(memory_space=pltpu.HBM),    # vb
+            pl.BlockSpec(memory_space=pltpu.HBM),    # va
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, block_x + 6, yp, L), dtype),   # vb slabs
+            pltpu.VMEM((2, block_x, yp, L), dtype),       # va centers
+            pltpu.VMEM((2, block_x, yp, L), dtype),       # out stages
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        jnp.broadcast_to(jnp.asarray(eps, dtype), (4,)),
+        jnp.broadcast_to(jnp.asarray(
+            eps if inv_eps is None else inv_eps, dtype), (4,)),
+        jnp.stack([jnp.asarray(t, dtype), jnp.asarray(cd, dtype)]),
+        jnp.asarray(params, dtype).reshape(-1),
+        vb,
+        va,
+    )
+    return out
+
+
+# ----------------------------------------------------------------- driver
+def fits_vmem_4d(grid: Grid, block_x: int = 8, dtype_bytes: int = 4,
+                 budget_bytes: int = 88 * 1024 * 1024) -> bool:
+    """Feasibility of the packed slab working set: double-buffered scratch
+    (2 slabs + 2 va + 2 stages) plus ~12 live block-sized temporaries
+    during the 4-axis WENO evaluation."""
+    L, yp, _ = aligned_dims_4d(grid)
+    slab = (block_x + 6) * yp * L * dtype_bytes
+    blk = block_x * yp * L * dtype_bytes
+    return 2 * slab + 4 * blk + 12 * blk < budget_bytes
+
+
+def fused4d_eligible(grid: Grid, cfg, *trees) -> bool:
+    """True when the solver's 4-D fused-substep path can run: WENO5 +
+    global LF dissipation, constant/maxOverGrid epsilon, not vmapped, and
+    the packed slab fits VMEM."""
+    from ..terms import _batched
+
+    if not (cfg.use_pallas and grid.ndim == 4
+            and cfg.accuracy in ("veryHigh", "weno5")
+            and cfg.dissipation == "global"
+            and cfg.epsilon_method in ("constant", "maxOverGrid")):
+        return False
+    if _batched(*trees):
+        return False
+    return fits_vmem_4d(grid)
+
+
+def initial_epsilon_4d(grid: Grid, cfg, v):
+    """Starting per-axis epsilon for the lagged carry, computed from the
+    GRID-SHAPED state with the standalone pass (once per interval)."""
+    from ..terms import local_ops, pallas_epsilon
+
+    return pallas_epsilon(grid, cfg, pad4(grid, v), local_ops(grid))
+
+
+def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
+                     comp: str | None, eps):
+    """One CFL-limited TVD-RK step on the packed 4-D state; returns
+    ``(t_new, v_new, eps_new)`` — the 4-D analog of
+    ``hjstep.fused_rk_step`` (same lagged-epsilon carry)."""
+    dtype = vq.dtype
+    flat_params, ham_fn, alpha_fn = system_closures_4d(grid, system, dtype)
+    dt = jnp.minimum(cfg.factor_cfl * alpha_bounds.step_bound, t_target - t)
+    if cfg.max_step != float("inf"):
+        dt = jnp.minimum(dt, cfg.max_step)
+
+    scaled = cfg.epsilon_method == "maxOverGrid"
+    floor = math.sqrt(float(jnp.finfo(dtype).tiny))
+
+    def sub(vb, va, eps, tt, cd, ca, cb, fuse_comp, comp_src="va"):
+        r = fused_substep_4d(
+            grid, ham_fn, alpha_fn, vb, va, eps, tt,
+            (1.0 / eps) if scaled else None, cd, flat_params,
+            ca=ca, cb=cb, comp=fuse_comp, comp_src=comp_src,
+            restrict=cfg.restrict_update, want_eps=scaled)
+        if scaled:
+            o, d1max = r
+            eps_next = 1e-6 * jnp.max(d1max, axis=(1, 2)) + floor
+        else:
+            o, eps_next = r, eps
+        return refresh_x_ghosts(grid, o), eps_next
+
+    if cfg.rk_order == 1:
+        v_new, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, comp, comp_src="vb")
+    elif cfg.rk_order == 2:
+        v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
+        v_new, eps = sub(v1, vq, eps, t + dt, 0.5 * dt, 0.5, 0.5, comp)
+    elif cfg.rk_order == 3:
+        v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
+        v2, eps = sub(v1, vq, eps, t + dt, 0.25 * dt, 0.75, 0.25, None)
+        v_new, eps = sub(v2, vq, eps, t + 0.5 * dt, (2.0 / 3.0) * dt,
+                         1.0 / 3.0, 2.0 / 3.0, comp)
+    else:
+        raise ValueError(f"rk_order must be 1, 2 or 3; got {cfg.rk_order}")
+    return t + dt, v_new, eps

@@ -128,9 +128,17 @@ def _weno_weight_tables(ss, epsq):
     ``epsq = (eps, inv_eps_or_None)``."""
     eps, inv_eps = epsq
     if inv_eps is not None:
-        b1 = ss[0] * inv_eps + 1.0
-        b2 = ss[1] * inv_eps + 1.0
-        b3 = ss[2] * inv_eps + 1.0
+        # Clamp the scaled indicators: exact maxOverGrid eps bounds
+        # ss/eps <= ~17e6, but the LAGGED eps carry (hjstep want_eps) can
+        # transiently undershoot by orders of magnitude when an axis goes
+        # from constant to varying (eps at the denormal floor while ss is
+        # already finite) — then b^4 overflows f32 -> inf/NaN weights, and
+        # on TPU min(NaN, va) silently freezes the comp'd solve.  1e8 is
+        # never reached in the lag-free regime (bitwise-identical there)
+        # and degrades gracefully to ENO stencil selection beyond it.
+        b1 = jnp.minimum(ss[0] * inv_eps, 1e8) + 1.0
+        b2 = jnp.minimum(ss[1] * inv_eps, 1e8) + 1.0
+        b3 = jnp.minimum(ss[2] * inv_eps, 1e8) + 1.0
     else:
         b1 = ss[0] + eps
         b2 = ss[1] + eps

@@ -144,14 +144,19 @@ def _solve_core(
     # per-step work the kernel covers exactly; everything else falls back to
     # the (also Pallas-accelerated) hj_rhs path below.
     fused_ok = (
-        allow_fused and alpha_bounds is not None and grid.ndim == 3
+        allow_fused and alpha_bounds is not None and grid.ndim in (3, 4)
         and comp_method in ("none", "set", "zero",
                             "minVOverTime", "maxVOverTime")
         and obstacles is None and targets is None and not has_discount
         and noise_sigma is None
     )
-    use_fused_step = (fused_ok and n_batch is None
-                      and pallas_eligible(grid, cfg, v0, system))
+    if grid.ndim == 4:
+        from .kernels.hjstep4d import fused4d_eligible
+
+        step_eligible = fused4d_eligible(grid, cfg, v0, system)
+    else:
+        step_eligible = pallas_eligible(grid, cfg, v0, system)
+    use_fused_step = fused_ok and n_batch is None and step_eligible
     # batch-LAST persistent-layout substep kernel (kernels/wenobatch.py):
     # same conditions, per-scenario dt/time in the packed rows
     from .terms import batch_pallas_eligible
@@ -240,7 +245,7 @@ def _solve_core(
 
         def do(v, ttr):
             def cond(c):
-                t, _, _, _ = c
+                t = c[0]
                 return jnp.any(t < t1 - small)
 
             if use_fused_step or use_fused_batch:
@@ -250,24 +255,31 @@ def _solve_core(
                     lift = fmod.lift_batch
                     lower = fmod.lower_batch
 
-                    def rk_step(t, vq):
-                        return fmod.fused_rk_step_batch(
+                    def rk_step(t, vq, eps):
+                        t_new, vq_new = fmod.fused_rk_step_batch(
                             grid, cfg, system, t, vq, t1, alpha_bounds,
                             comp_flag, n_batch)
+                        return t_new, vq_new, eps
+                elif grid.ndim == 4:
+                    from .kernels import hjstep4d
+
+                    lift = hjstep4d.lift4
+                    lower = hjstep4d.lower4
+                    rk_step = lambda t, vq, eps: hjstep4d.fused_rk_step_4d(  # noqa: E731
+                        grid, cfg, system, t, vq, t1, alpha_bounds,
+                        comp_flag, eps)
                 else:
                     from .kernels import hjstep
 
                     lift = hjstep.lift
                     lower = hjstep.lower
-
-                    def rk_step(t, vq):
-                        return hjstep.fused_rk_step(
-                            grid, cfg, system, t, vq, t1, alpha_bounds,
-                            comp_flag)
+                    rk_step = lambda t, vq, eps: hjstep.fused_rk_step(  # noqa: E731
+                        grid, cfg, system, t, vq, t1, alpha_bounds,
+                        comp_flag, eps)
 
                 def body(c):
-                    t, vq, n, ttr = c
-                    t_new, vq_new = rk_step(t, vq)
+                    t, vq, n, ttr, eps = c
+                    t_new, vq_new, eps = rk_step(t, vq, eps)
                     if record_ttr:
                         v_last = lower(grid, vq)
                         v_cur = lower(grid, vq_new)
@@ -279,11 +291,18 @@ def _solve_core(
                         # lane axis in batch mode
                         ttr = jnp.where(crossed, t + (t_new - t) * frac,
                                         ttr)
-                    return t_new, vq_new, n + 1, ttr
+                    return t_new, vq_new, n + 1, ttr, eps
 
-                _, vq, n, ttr = jax.lax.while_loop(
+                vq0 = lift(grid, v)
+                if use_fused_batch:
+                    eps0 = jnp.zeros((3,), v.dtype)  # batch computes its own
+                elif grid.ndim == 4:
+                    eps0 = hjstep4d.initial_epsilon_4d(grid, cfg, v)
+                else:
+                    eps0 = hjstep.initial_epsilon(grid, cfg, vq0)
+                _, vq, n, ttr, _ = jax.lax.while_loop(
                     cond, body,
-                    (t0, lift(grid, v), jnp.zeros((), jnp.int32), ttr))
+                    (t0, vq0, jnp.zeros((), jnp.int32), ttr, eps0))
                 return lower(grid, vq), n, ttr
 
             def body(c):

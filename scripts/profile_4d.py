@@ -49,26 +49,30 @@ def main():
                        shape)
     system = RocketSystem()
     target = cylinder(grid, ignore_axes=[2, 3], radius=100.0)
-    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2)
 
-    # ---- full-solve marginal per step (two horizons)
-    def run(t_end, eps=0.0):
+    # ---- full-solve marginal per step (two horizons), XLA vs fused 4-D
+    def run(cfg, t_end, eps=0.0):
         r = solve(grid, system, target + eps, jnp.array([0.0, t_end],
                                                         jnp.float32),
                   cfg=cfg, save_all=False)
-        np.asarray(r.values)
+        float(jnp.sum(r.values))  # checksum fetch, not the 5.3 MB array
         return int(r.steps)
 
-    walls, steps = {}, {}
-    for t_end in (0.3, 1.2):
-        steps[t_end] = run(t_end)  # compile+warm
-        walls[t_end] = min(
-            _timed(lambda e=e: run(t_end, e)) for e in (1e-3, 2e-3, 3e-3))
-    d_steps = steps[1.2] - steps[0.3]
-    per_step = (walls[1.2] - walls[0.3]) / d_steps
-    print(f"solve walls: {walls} steps: {steps}", flush=True)
-    print(f"marginal per RK2 step: {per_step * 1e3:.3f} ms "
-          f"({d_steps} extra steps)", flush=True)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    for label, c in (("xla", cfg),
+                     ("fused4d", SchemeConfig(accuracy="veryHigh",
+                                              rk_order=2, use_pallas=True))):
+        walls, steps = {}, {}
+        for t_end in (0.3, 1.2):
+            steps[t_end] = run(c, t_end)  # compile+warm
+            walls[t_end] = min(
+                _timed(lambda e=e: run(c, t_end, e))
+                for e in (1e-3, 2e-3, 3e-3))
+        d_steps = steps[1.2] - steps[0.3]
+        per_step = (walls[1.2] - walls[0.3]) / d_steps
+        print(f"[{label}] solve walls: {walls} steps: {steps}", flush=True)
+        print(f"[{label}] marginal per RK2 step: {per_step * 1e3:.3f} ms "
+              f"({d_steps} extra steps)", flush=True)
 
     # ---- RHS-only marginal via on-device scan
     xs = grid.mesh_broadcastable(jnp.float32)
@@ -82,12 +86,14 @@ def main():
             def body(v, _):
                 d, _ = hj_rhs(grid, cfg, system, 0.0, v, xs, ab, ops)
                 return v + 1e-6 * d, None
-            return jax.lax.scan(body, v, None, length=k)[0]
+            # scalar checksum fetch — a full 5.3 MB array pull through the
+            # tunnel would add ~2 ms/iteration of pure fetch artifact
+            return jnp.sum(jax.lax.scan(body, v, None, length=k)[0])
         return f
 
     f64 = runner(64)
-    np.asarray(f64(v0))
-    wall = min(_timed(lambda i=i: np.asarray(f64(v0 + 1e-6 * i)))
+    float(f64(v0))
+    wall = min(_timed(lambda i=i: float(f64(v0 + 1e-6 * i)))
                for i in (1, 2, 3))
     per_rhs = wall / 64
     print(f"marginal per RHS: {per_rhs * 1e3:.3f} ms", flush=True)

@@ -70,7 +70,10 @@ def main():
                               n_batch=nb)
                 return v + 1e-6 * d, None
             v, _ = jax.lax.scan(body, v, None, length=k)
-            return v
+            # scalar checksum: fetching the full (n^3, B) result through the
+            # remote tunnel costs ~3.5 s / 122 MB and dominated the old
+            # numbers (the r3 "17 ms/RHS XLA" artifact, CLAUDE.md)
+            return jnp.sum(v)
         return f
 
     def kernel_runner(nb, k, payload, bx, by, lc):

@@ -69,12 +69,15 @@ def time_step(label, cfg):
 
         abq = AlphaBounds(alphas=alphas, step_bound=sb)
 
-        def body(_, vq):
-            _, vq2 = hjstep.fused_rk_step(GRID, cfg, system, 0.0, vq,
-                                          1e9, abq, "min")
-            return vq2
+        def body(_, c):
+            vq, eps = c
+            _, vq2, eps2 = hjstep.fused_rk_step(GRID, cfg, system, 0.0, vq,
+                                                1e9, abq, "min", eps)
+            return vq2, eps2
 
-        vq = jax.lax.fori_loop(0, n, body, hjstep.lift(GRID, v))
+        vq0 = hjstep.lift(GRID, v)
+        vq, _ = jax.lax.fori_loop(
+            0, n, body, (vq0, hjstep.initial_epsilon(GRID, cfg, vq0)))
         return jnp.sum(hjstep.lower(GRID, vq))
 
     ms = marginal_ms(lambda n, v: run(n, SYSTEM, v, AB.alphas,

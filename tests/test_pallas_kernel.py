@@ -125,6 +125,34 @@ def test_fused_step_solve_matches_xla(interpret_pallas, rk_order):
     assert int(r1.steps) == int(r2.steps)
 
 
+def test_fused_step_lagged_eps_constant_axis(interpret_pallas):
+    """REGRESSION (r3): an initial state CONSTANT along one axis leaves
+    that axis's maxOverGrid epsilon at the denormal floor; the lagged-eps
+    carry then feeds it to a substep whose state already varies along the
+    axis, and without the b-clamp in weno3d._weno_weight_tables the scaled
+    combine overflowed f32 -> NaN weights (on real TPUs min(NaN, va)
+    silently FROZE the solve at v0).  A pure cylinder (no perturbation —
+    the other tests deliberately perturb every axis, which masked this)
+    must evolve and match the XLA path."""
+    from levelsetpy_tpu import solve
+
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       (20, 20, 16), periodic_dims=[2])
+    v = cylinder(grid, ignore_axes=[2], radius=5.0)   # theta-CONSTANT
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    tau = jnp.array([0.0, 0.3])
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    r1 = solve(grid, system, v, tau, cfg=cfg_x, comp_method="minVOverTime")
+    r2 = solve(grid, system, v, tau, cfg=cfg_p, comp_method="minVOverTime")
+    v1, v2 = np.asarray(r1.values), np.asarray(r2.values)
+    assert np.isfinite(v2).all()
+    # the tube must actually grow (a frozen solve keeps v == v0)
+    assert (v2 <= 0).mean() > (np.asarray(v) <= 0).mean()
+    scale = float(np.abs(v1).max())
+    np.testing.assert_allclose(v2, v1, atol=5e-4 * scale)
+
+
 def test_fused_step_ttr_and_extrapolate_z(interpret_pallas):
     """Fused path with a non-periodic lane axis (extrapolate ghost fill via
     masked lane reductions / strided rotations) and time-to-reach
