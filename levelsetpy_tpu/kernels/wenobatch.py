@@ -51,7 +51,8 @@ from .hjstep import _weno_roll_axis
 from .weno3d import _weno_axis01
 
 __all__ = ["fused_hj_rhs_batch", "fused_substep_batch",
-           "fused_rk_step_batch", "lift_batch", "lower_batch",
+           "fused_rk_step_batch", "initial_epsilon_batch",
+           "lift_batch", "lower_batch",
            "refresh_xy_ghosts_batch", "fits_vmem_batch", "pick_blocks",
            "batch_system_closures", "batch_leaves_ok", "LANE_CHUNK"]
 
@@ -476,10 +477,22 @@ def fused_substep_batch(
     block_x: int = 4,
     block_y: int = 4,
     lane_chunk: int = LANE_CHUNK,
-) -> jnp.ndarray:
+    want_eps: bool = False,
+):
     """One fused batched RK substep in the persistent aligned layout; the
     output's z ghosts are filled in-kernel — call
-    :func:`refresh_xy_ghosts_batch` after."""
+    :func:`refresh_xy_ghosts_batch` after.
+
+    With ``want_eps`` the kernel also returns ``d1max``: PER-SCENARIO
+    masked maxima of ``D1^2`` over the input's stencil tables, shape
+    ``(8, B)`` (rows 0-2 = axes, rest sublane padding).  This is the
+    batch-last analog of ``hjstep``'s lagged-epsilon epilogue: blocks of a
+    lane chunk run consecutively, so the first block of each chunk
+    initializes its 128-lane column and later blocks max-accumulate into
+    it.  Every lane is a real scenario (B is a multiple of 128), so only
+    the z junk/ghost range needs masking; x/y table coverage follows the
+    same slab-halo argument as the 3-D kernel (adjacent pairs only,
+    ghost-pair duplicates are exact)."""
     xp, yp, zs, B = vb.shape
     x, y, z = grid.shape
     if (xp, yp, zs) != (x + 6, y + 6, _aligned_z(grid)):
@@ -500,8 +513,12 @@ def fused_substep_batch(
     n_by = pl.cdiv(y, by)
     n_blocks = (B // lc) * n_bx * n_by
 
-    def kernel(vb_hbm, va_hbm, pack_hbm, out_hbm, slabs, vas, packs, stages,
-               sems_in, sems_out):
+    def kernel(vb_hbm, va_hbm, pack_hbm, out_hbm, *rest):
+        if want_eps:
+            (epsacc, slabs, vas, packs, stages, sems_in, sems_out) = rest
+        else:
+            (slabs, vas, packs, stages, sems_in, sems_out) = rest
+
         def decode(k):
             c = k // (n_bx * n_by)
             r = k - c * (n_bx * n_by)
@@ -537,6 +554,26 @@ def fused_substep_batch(
                            pl.ds(co, lc)],
                 sems_out.at[slot])
 
+        def acc_eps(k, ax, d1, z_lo, z_hi):
+            # mask the valid z-pad range, reduce grid dims to per-lane
+            # maxima, and max-accumulate into this chunk's 128-lane column
+            # (blocks of a chunk are consecutive: the first initializes)
+            iz = jax.lax.broadcasted_iota(jnp.int32, d1.shape, 2)
+            m = jnp.where((iz >= z_lo) & (iz < z_hi), d1 * d1,
+                          jnp.zeros_like(d1))
+            col = jnp.max(m, axis=(0, 1, 2)).reshape(1, lc)
+            co, _, _ = decode(k)
+            is_first = (k % (n_bx * n_by)) == 0
+
+            @pl.when(is_first)
+            def _():
+                epsacc[ax:ax + 1, pl.ds(co, lc)] = col
+
+            @pl.when(jnp.logical_not(is_first))
+            def _():
+                epsacc[ax:ax + 1, pl.ds(co, lc)] = jnp.maximum(
+                    epsacc[ax:ax + 1, pl.ds(co, lc)], col)
+
         def compute(slot, k):
             pk = packs.at[slot]
 
@@ -551,11 +588,20 @@ def fused_substep_batch(
             g0 = g[:, 3:3 + by]
             d1 = (g0[1:] - g0[:-1]) * inv_dx[0]
             dl0, dr0 = _weno_axis01(d1, 0, bx, epsq(0))
+            if want_eps:
+                acc_eps(k, 0, d1, 3, z + 3)
             g1 = g[3:3 + bx]
             d1 = (g1[:, 1:] - g1[:, :-1]) * inv_dx[1]
             dl1, dr1 = _weno_axis01(d1, 1, by, epsq(1))
+            if want_eps:
+                acc_eps(k, 1, d1, 3, z + 3)
             g2 = g[3:3 + bx, 3:3 + by]
-            dl2, dr2 = _weno_roll_axis(g2, 2, inv_dx[2], epsq(2))
+            if want_eps:
+                dl2, dr2, d1_2 = _weno_roll_axis(g2, 2, inv_dx[2], epsq(2),
+                                                 want_d1=True)
+                acc_eps(k, 2, d1_2, 2, z + 4)
+            else:
+                dl2, dr2 = _weno_roll_axis(g2, 2, inv_dx[2], epsq(2))
 
             starts = (sx, sy, -3)
             p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
@@ -613,6 +659,11 @@ def fused_substep_batch(
             if kk >= 0:
                 out_dma(kk % 2, jnp.int32(kk)).wait()
 
+    out_specs = pl.BlockSpec(memory_space=pltpu.HBM)
+    out_shape = jax.ShapeDtypeStruct((xp, yp, zs, B), dtype)
+    if want_eps:
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((8, B), dtype)]
     return pl.pallas_call(
         kernel,
         grid=(),
@@ -621,8 +672,8 @@ def fused_substep_batch(
             pl.BlockSpec(memory_space=pltpu.HBM),    # va
             pl.BlockSpec(memory_space=pltpu.HBM),    # packed rows
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct((xp, yp, zs, B), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, bx + 6, by + 6, zs, lc), dtype),  # vb slabs
             pltpu.VMEM((2, bx, by, zs, lc), dtype),          # va centers
@@ -637,12 +688,28 @@ def fused_substep_batch(
     )(vb, va, pack)
 
 
+def initial_epsilon_batch(grid: Grid, cfg, vq):
+    """Starting per-scenario epsilon ``(3, B)`` for the lagged carry,
+    computed with the standalone full-grid pass on the aligned batch
+    state."""
+    from ..terms import batched_ops, pallas_epsilon
+
+    return pallas_epsilon(grid, cfg, vq, batched_ops(grid))
+
+
 def fused_rk_step_batch(grid: Grid, cfg, system, t, vq, t_target,
-                        alpha_bounds, comp: str | None, n_batch: int):
+                        alpha_bounds, comp: str | None, n_batch: int, eps):
     """One CFL-limited TVD-RK step on the aligned batch state ``vq`` with
     per-scenario dt and the comp-method fused into the final substep —
-    the batch-last analog of ``hjstep.fused_rk_step``."""
-    from ..terms import batched_ops, pallas_epsilon
+    the batch-last analog of ``hjstep.fused_rk_step``; returns
+    ``(t_new, v_new, eps_new)``.
+
+    ``eps`` is the per-scenario ``(3, B)`` epsilon carry: for
+    ``maxOverGrid`` each substep consumes the previous substep's kernel
+    epilogue (one substep stale — same lagged scheme, overflow clamp, and
+    accuracy reasoning as ``hjstep.fused_rk_step``); seed with
+    :func:`initial_epsilon_batch`."""
+    import math as _math
 
     dtype = vq.dtype
     param_rows, ham_fn, alpha_fn = batch_system_closures(
@@ -651,30 +718,35 @@ def fused_rk_step_batch(grid: Grid, cfg, system, t, vq, t_target,
     if cfg.max_step != float("inf"):
         dt = jnp.minimum(dt, cfg.max_step)
     dt = jnp.broadcast_to(dt, (n_batch,))
-    ops = batched_ops(grid)
     scaled = cfg.epsilon_method == "maxOverGrid"
+    floor = _math.sqrt(float(jnp.finfo(dtype).tiny))
     bx, by, lc = pick_blocks(grid, n_batch)
 
-    def sub(vb, va, tt, cd, ca, cb, fuse_comp, comp_src="va"):
-        eps = pallas_epsilon(grid, cfg, vb, ops)
-        o = fused_substep_batch(
+    def sub(vb, va, eps, tt, cd, ca, cb, fuse_comp, comp_src="va"):
+        r = fused_substep_batch(
             grid, ham_fn, alpha_fn, vb, va, eps, tt,
             (1.0 / eps) if scaled else None, cd, param_rows,
             ca=ca, cb=cb, comp=fuse_comp, comp_src=comp_src,
             restrict=cfg.restrict_update, block_x=bx, block_y=by,
-            lane_chunk=lc)
-        return refresh_xy_ghosts_batch(grid, o)
+            lane_chunk=lc, want_eps=scaled)
+        if scaled:
+            o, d1max = r
+            eps_next = 1e-6 * d1max[:3] + floor
+        else:
+            o, eps_next = r, eps
+        return refresh_xy_ghosts_batch(grid, o), eps_next
 
     if cfg.rk_order == 1:
-        v_new = sub(vq, vq, t, dt, 0.0, 1.0, comp, comp_src="vb")
+        v_new, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, comp,
+                         comp_src="vb")
     elif cfg.rk_order == 2:
-        v1 = sub(vq, vq, t, dt, 0.0, 1.0, None)
-        v_new = sub(v1, vq, t + dt, 0.5 * dt, 0.5, 0.5, comp)
+        v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
+        v_new, eps = sub(v1, vq, eps, t + dt, 0.5 * dt, 0.5, 0.5, comp)
     elif cfg.rk_order == 3:
-        v1 = sub(vq, vq, t, dt, 0.0, 1.0, None)
-        v2 = sub(v1, vq, t + dt, 0.25 * dt, 0.75, 0.25, None)
-        v_new = sub(v2, vq, t + 0.5 * dt, (2.0 / 3.0) * dt,
-                    1.0 / 3.0, 2.0 / 3.0, comp)
+        v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
+        v2, eps = sub(v1, vq, eps, t + dt, 0.25 * dt, 0.75, 0.25, None)
+        v_new, eps = sub(v2, vq, eps, t + 0.5 * dt, (2.0 / 3.0) * dt,
+                         1.0 / 3.0, 2.0 / 3.0, comp)
     else:
         raise ValueError(f"rk_order must be 1, 2 or 3; got {cfg.rk_order}")
-    return t + dt, v_new
+    return t + dt, v_new, eps

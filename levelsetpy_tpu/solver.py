@@ -255,11 +255,9 @@ def _solve_core(
                     lift = fmod.lift_batch
                     lower = fmod.lower_batch
 
-                    def rk_step(t, vq, eps):
-                        t_new, vq_new = fmod.fused_rk_step_batch(
-                            grid, cfg, system, t, vq, t1, alpha_bounds,
-                            comp_flag, n_batch)
-                        return t_new, vq_new, eps
+                    rk_step = lambda t, vq, eps: fmod.fused_rk_step_batch(  # noqa: E731
+                        grid, cfg, system, t, vq, t1, alpha_bounds,
+                        comp_flag, n_batch, eps)
                 elif grid.ndim == 4:
                     from .kernels import hjstep4d
 
@@ -295,7 +293,7 @@ def _solve_core(
 
                 vq0 = lift(grid, v)
                 if use_fused_batch:
-                    eps0 = jnp.zeros((3,), v.dtype)  # batch computes its own
+                    eps0 = fmod.initial_epsilon_batch(grid, cfg, vq0)
                 elif grid.ndim == 4:
                     eps0 = hjstep4d.initial_epsilon_4d(grid, cfg, v)
                 else:

@@ -90,8 +90,11 @@ def test_batch_solve_matches_xla(interpret_pallas):
                                       use_pallas=True),
                      save_all=False)
     scale = float(jnp.max(jnp.abs(r1.values)))
+    # 5e-4: the fused path's maxOverGrid eps is LAGGED one substep (see
+    # hjstep.fused_rk_step); with a theta-constant target the first steps
+    # run the clamped-transient regime and drift O(1e-4) from exact-eps XLA
     np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
-                               atol=1e-5 * scale)
+                               atol=5e-4 * scale)
     assert int(r1.steps) == int(r2.steps)
 
 
@@ -131,13 +134,15 @@ def test_batch_substep_heterogeneous_dt(interpret_pallas, rk_order):
     r2 = solve_batch(grid, system, target.astype(jnp.float32), tau,
                      cfg=cfg_p, save_all=False, record_ttr=True)
     scale = float(jnp.max(jnp.abs(r1.values)))
+    # 5e-4 / 1e-4: lagged-eps transient on the theta-constant target (see
+    # test_batch_solve_matches_xla)
     np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
-                               atol=1e-5 * scale)
+                               atol=5e-4 * scale)
     assert int(r1.steps) == int(r2.steps)
     m = np.isfinite(np.asarray(r1.ttr))
     assert (np.isfinite(np.asarray(r2.ttr)) == m).all()
     np.testing.assert_allclose(np.asarray(r2.ttr)[m], np.asarray(r1.ttr)[m],
-                               atol=1e-5)
+                               atol=1e-4)
 
 
 def test_batch_substep_nonperiodic_z(interpret_pallas):
