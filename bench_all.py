@@ -301,21 +301,37 @@ def bench_rocket4d_sharded(shape=(48, 48, 24, 24), t_end=0.3):
          note="vs_baseline = unsharded wall / sharded wall "
               "(sharding overhead at mesh size 1; no numpy reference)")
 
-    # fused 4-D substep kernel (kernels/hjstep4d.py, packed lane layout)
+    # fused 4-D substep kernel (kernels/hjstep4d.py, packed lane layout).
+    # The config-mandated T=0.3 horizon is only ~5 RK steps, so a plain
+    # wall comparison is swamped by the ~0.1 s per-call link overhead;
+    # report the MARGINAL per-step cost between two horizons instead
+    # (CLAUDE.md methodology — the same number profile_4d.py measures).
+    import jax.numpy as jnp2  # noqa: F401  (jnp already imported above)
     cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
 
-    def run_fused():
-        r = solve(grid, system, target, tau, cfg=cfg_p, save_all=False)
-        np.asarray(r.values)
-        return r
+    def run_h(cfg_, t_e, eps=0.0):
+        r = solve(grid, system, target + eps,
+                  jnp.array([0.0, t_e], jnp.float32), cfg=cfg_,
+                  save_all=False)
+        float(jnp.sum(r.values))  # checksum fetch
+        return int(r.steps)
 
-    rf = run_fused()
-    fused_s = _best_of(run_fused)
-    emit(f"rocket4d_{'x'.join(map(str, shape))}_fused_T{t_end}",
-         fused_s, "s", single_s / fused_s,
-         steps=int(rf.steps),
-         note="vs_baseline = XLA-path wall / fused-kernel wall "
-              "(same device; no numpy reference)")
+    marg = {}
+    for label, cfg_ in (("xla", cfg), ("fused", cfg_p)):
+        walls, steps = {}, {}
+        for t_e in (0.3, 3.0):     # ~45-step difference beats link noise
+            steps[t_e] = run_h(cfg_, t_e)  # compile + warm
+            walls[t_e] = min(
+                min(_timed(lambda e=e: run_h(cfg_, t_e, e))
+                    for e in (1e-3, 2e-3, 3e-3)) for _ in range(2))
+        marg[label] = ((walls[3.0] - walls[0.3])
+                       / (steps[3.0] - steps[0.3]))
+    emit(f"rocket4d_{'x'.join(map(str, shape))}_fused_ms_per_step",
+         marg["fused"] * 1e3, "ms/step", marg["xla"] / marg["fused"],
+         xla_ms_per_step=round(marg["xla"] * 1e3, 3),
+         note="vs_baseline = XLA-path marginal ms/RK2-step / fused-kernel "
+              "marginal ms/step (two-horizon difference cleans the ~0.1 s "
+              "per-call link overhead; no numpy reference)")
 
 
 def bench_flock3d(n=71, agents=5, t_end=0.4):
@@ -361,6 +377,25 @@ def bench_flock3d(n=71, agents=5, t_end=0.4):
          unsharded_s=round(single_s, 4),
          note="vs_baseline = unsharded wall / sharded wall "
               "(sharding overhead at mesh size 1; no numpy reference)")
+
+    # x-sharded + fused RK-step kernel (the 5-agent union Hamiltonian and
+    # its alphas evaluate in-kernel from iota coords)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+
+    def run_fused():
+        r = solve_sharded(grid, flock, target, tau, shard_axes={0: "x"},
+                          mesh=mesh, cfg=cfg_p, save_all=False)
+        np.asarray(r.values)
+        return r
+
+    rf = run_fused()
+    fused_s = _best_of(run_fused)
+    emit(f"flock3d_{agents}agents_{n}cube_fused_T{t_end}", fused_s,
+         "s", sharded_s / fused_s,
+         steps=int(rf.steps),
+         steps_per_s=round(int(rf.steps) / fused_s, 1),
+         note="vs_baseline = sharded-XLA wall / sharded-fused-RK-step wall "
+              "(same mesh; no numpy reference)")
 
 
 def bench_replanning(n=51, horizon=1.0):

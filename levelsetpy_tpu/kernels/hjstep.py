@@ -55,8 +55,8 @@ from ..grid import Grid
 from .weno3d import (_smoothness, _weno_axis01, _weno_eval,
                      _weno_weight_tables, aligned_dims)
 
-__all__ = ["lift", "lower", "refresh_x_ghosts", "fused_substep_3d",
-           "fused_rk_step", "initial_epsilon"]
+__all__ = ["lift", "lower", "refresh_x_ghosts", "refresh_x_ghosts_sharded",
+           "fused_substep_3d", "fused_rk_step", "initial_epsilon"]
 
 
 # --------------------------------------------------------------- layout moves
@@ -105,6 +105,35 @@ def refresh_x_ghosts(grid: Grid, vq: jnp.ndarray) -> jnp.ndarray:
             [edge_hi + k * slope_hi for k in (1.0, 2.0, 3.0)], axis=0)
     vq = jax.lax.dynamic_update_slice_in_dim(vq, glo, 0, axis=0)
     return jax.lax.dynamic_update_slice_in_dim(vq, ghi, x + 3, axis=0)
+
+
+def refresh_x_ghosts_sharded(lgrid: Grid, vq: jnp.ndarray, mesh_axis: str):
+    """Sharded :func:`refresh_x_ghosts`: the 6 ghost ROWS of an x-sharded
+    block refresh from the ring neighbours via ``ppermute`` (one ICI hop
+    each way); global-domain edge shards apply the boundary condition
+    instead, selected branchlessly by ``axis_index`` (SPMD — same program
+    on every shard).  Call inside ``shard_map``.
+
+    For a periodic global x axis the ring IS the boundary condition, so
+    the permute alone is exact (``parallel/halo.py`` semantics).
+    """
+    from ..parallel.halo import _extrapolation_ghosts, _shift
+
+    x = lgrid.shape[0]
+    interior = jax.lax.slice_in_dim(vq, 3, x + 3, axis=0)
+    top = jax.lax.slice_in_dim(interior, x - 3, x, axis=0)
+    bottom = jax.lax.slice_in_dim(interior, 0, 3, axis=0)
+    from_left = _shift(top, mesh_axis, +1)
+    from_right = _shift(bottom, mesh_axis, -1)
+    if not lgrid.periodic[0]:
+        idx = jax.lax.axis_index(mesh_axis)
+        size = jax.lax.axis_size(mesh_axis)
+        lo_ghost, hi_ghost = _extrapolation_ghosts(interior, 0, 3)
+        from_left = jnp.where(idx == 0, lo_ghost, from_left)
+        from_right = jnp.where(idx == size - 1, hi_ghost, from_right)
+    vq = jax.lax.dynamic_update_slice_in_dim(vq, from_left, 0, axis=0)
+    return jax.lax.dynamic_update_slice_in_dim(vq, from_right, x + 3,
+                                               axis=0)
 
 
 # ------------------------------------------------------------- kernel helpers
@@ -206,6 +235,10 @@ def fused_substep_3d(
     restrict: str | None = None,  # clamp f sign ('min'/'max'/None)
     block_x: int = 8,
     want_eps: bool = False,
+    origin=None,                 # per-axis global index offset (3 traced
+                                 # int32) — the shard's block start when
+                                 # the kernel runs inside shard_map (same
+                                 # convention as weno3d.fused_hj_rhs_3d)
 ) -> jnp.ndarray:
     """One fused RK substep; returns ``out`` in the same aligned layout with
     y/z ghost layers filled (call :func:`refresh_x_ghosts` after).
@@ -243,8 +276,8 @@ def fused_substep_3d(
 
     scaled = inv_eps is not None
 
-    def kernel(eps_ref, inv_ref, sc_ref, params_ref, vb_hbm, va_hbm, out_hbm,
-               *rest):
+    def kernel(eps_ref, inv_ref, sc_ref, params_ref, org_ref, vb_hbm,
+               va_hbm, out_hbm, *rest):
         if want_eps:
             (epsacc, slabs, vas, stages, sems_in, sems_out) = rest
         else:
@@ -316,7 +349,8 @@ def fused_substep_3d(
                 acc_eps(bi, 1, d1_1)
                 acc_eps(bi, 2, d1_2)
 
-            starts = (start_x(bi), -3, -3)
+            starts = (org_ref[0] + start_x(bi), org_ref[1] - 3,
+                      org_ref[2] - 3)
             p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
             ham = ham_fn(tt, starts, p, params_ref)
             shape = center.shape
@@ -365,6 +399,7 @@ def fused_substep_3d(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # inv_eps
             pl.BlockSpec(memory_space=pltpu.SMEM),   # [t, cd]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # origin
             pl.BlockSpec(memory_space=pltpu.HBM),    # vb
             pl.BlockSpec(memory_space=pltpu.HBM),    # va
         ],
@@ -386,6 +421,8 @@ def fused_substep_3d(
             eps if inv_eps is None else inv_eps, dtype), (3,)),
         jnp.stack([jnp.asarray(t, dtype), jnp.asarray(cd, dtype)]),
         jnp.asarray(params, dtype).reshape(-1),
+        (jnp.zeros((3,), jnp.int32) if origin is None
+         else jnp.stack([jnp.asarray(o, jnp.int32) for o in origin])),
         vb,
         va,
     )
@@ -393,17 +430,18 @@ def fused_substep_3d(
 
 
 # --------------------------------------------------------------- full RK step
-def initial_epsilon(grid: Grid, cfg, vq):
+def initial_epsilon(grid: Grid, cfg, vq, ops=None):
     """Starting WENO epsilon for :func:`fused_rk_step`'s lagged carry,
     computed with the standalone full-grid pass (exact maxOverGrid of the
-    interval's initial state)."""
+    interval's initial state).  Pass the sharded ``GridOps`` inside
+    shard_map so the reduction pmax-es across shards."""
     from ..terms import local_ops, pallas_epsilon
 
-    return pallas_epsilon(grid, cfg, vq, local_ops(grid))
+    return pallas_epsilon(grid, cfg, vq, ops or local_ops(grid))
 
 
 def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
-                  comp: str | None, eps):
+                  comp: str | None, eps, origin=None, shard=None):
     """One CFL-limited TVD-RK step on the aligned state ``vq`` with the
     comp-method fused into the final substep; returns
     ``(t_new, v_new, eps_new)``.
@@ -423,6 +461,12 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
     weights by O(dt) and is covered by the accuracy gate vs the f64 oracle
     (bench_all ``accuracy_101`` row).  For ``constant`` the carry passes
     through untouched.
+
+    Sharded execution (inside shard_map, x-only-sharded grids): pass the
+    LOCAL block grid, ``origin`` = per-axis global block starts, and
+    ``shard = (x mesh-axis name, all mesh axis names)`` — the ghost-row
+    refresh becomes a ppermute halo exchange and the lagged epsilon
+    pmax-reduces so every shard agrees.
     """
     import math as _math
 
@@ -442,12 +486,16 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
             grid, ham_fn, alpha_fn, vb, va, eps, tt,
             (1.0 / eps) if scaled else None, cd, flat_params,
             ca=ca, cb=cb, comp=fuse_comp, comp_src=comp_src,
-            restrict=cfg.restrict_update, want_eps=scaled)
+            restrict=cfg.restrict_update, want_eps=scaled, origin=origin)
         if scaled:
             o, d1max = r
             eps_next = 1e-6 * jnp.max(d1max, axis=(1, 2)) + floor
+            if shard is not None:
+                eps_next = jax.lax.pmax(eps_next, shard[1])
         else:
             o, eps_next = r, eps
+        if shard is not None:
+            return refresh_x_ghosts_sharded(grid, o, shard[0]), eps_next
         return refresh_x_ghosts(grid, o), eps_next
 
     if cfg.rk_order == 1:

@@ -153,11 +153,13 @@ def solve_sharded(
       * ``ignore_boundary`` masks the convergence reduction by each node's
         GLOBAL index (the single-device path slices instead —
         ref ``hji_solver.py:663``); identical effective region.
-      * ``cfg.use_pallas`` runs the fused Pallas RHS kernel per shard on
-        its halo-exchanged local block (see ``terms.hj_rhs``); the
-        persistent-layout fused RK-step kernel stays single-device (its
-        in-kernel ghost fill would have to be a halo exchange, which is
-        exactly what the per-RHS path already does).
+      * ``cfg.use_pallas`` + x-ONLY sharding runs the persistent-layout
+        fused RK-step kernel PER SHARD (``kernels/hjstep.py``): y/z ghost
+        layers fill in-kernel (those axes are whole per shard), the 6
+        x-ghost rows refresh via one ppermute hop each way, and the lagged
+        WENO epsilon pmax-reduces per substep.  Other shardings run the
+        fused Pallas RHS kernel per shard on its halo-exchanged local
+        block instead (see ``terms.hj_rhs``).
     """
     from ..derivatives import GHOST_WIDTH
 
@@ -213,6 +215,13 @@ def _sharded_run(grid, cfg, comp_method, shard_items, mesh, obstacles_tv,
     nd = grid.ndim
     mesh_axes = tuple(mesh.axis_names)
     lgrid = local_grid(grid, shard_axes, mesh)
+    # x-only-sharded 3-D grids run the persistent-layout fused RK-step
+    # kernel PER SHARD (kernels/hjstep.py): the kernel's in-kernel y/z
+    # ghost fill is valid because those axes are whole per shard, the
+    # x-ghost rows refresh via ppermute, and the lagged epsilon
+    # pmax-reduces.  Any other sharding falls back to the per-RHS path.
+    fused_shard = ((shard_axes[0], mesh_axes)
+                   if set(shard_axes) == {0} and nd == 3 else None)
 
     grid_spec = P(*(shard_axes.get(i) for i in range(nd)))
     grid_spec_t = P(None, *(shard_axes.get(i) for i in range(nd)))
@@ -277,6 +286,7 @@ def _sharded_run(grid, cfg, comp_method, shard_items, mesh, obstacles_tv,
             trim=trim, save_all=save_all,
             use_precomputed=use_precomputed,
             record_ttr=record_ttr, nan_guard=nan_guard,
+            allow_fused=fused_shard is not None, fused_shard=fused_shard,
             pallas_grid=lgrid, pallas_origin=origin, eval_fn=eval_fn,
         )
         values, changes, stop_index, steps, ttr, nan_index = out

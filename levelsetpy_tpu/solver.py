@@ -103,7 +103,12 @@ def _solve_core(
     use_precomputed: bool,
     record_ttr: bool = False,
     progress: bool = False,
-    allow_fused: bool = False,  # single-device only: fused RK-step kernel
+    allow_fused: bool = False,  # fused RK-step kernel (single-device, or
+                                # per shard when fused_shard is set)
+    fused_shard=None,           # (x mesh-axis name, all mesh axis names)
+                                # -> run the fused RK-step kernel PER SHARD
+                                # of an x-only-sharded grid: ghost rows
+                                # refresh via ppermute, eps pmax-reduces
     pallas_grid: Grid | None = None,   # LOCAL block grid inside shard_map
     pallas_origin=None,                # traced per-axis global block starts
     eval_fn: Callable | None = None,   # point query V(state) for stopInit
@@ -150,12 +155,15 @@ def _solve_core(
         and obstacles is None and targets is None and not has_discount
         and noise_sigma is None
     )
+    if fused_shard is not None and grid.ndim != 3:
+        fused_ok = False        # sharded fused step: 3-D x-sharding only
     if grid.ndim == 4:
         from .kernels.hjstep4d import fused4d_eligible
 
         step_eligible = fused4d_eligible(grid, cfg, v0, system)
     else:
-        step_eligible = pallas_eligible(grid, cfg, v0, system)
+        # eligibility on the LOCAL block grid (== grid single-device)
+        step_eligible = pallas_eligible(pgrid, cfg, v0, system)
     use_fused_step = fused_ok and n_batch is None and step_eligible
     # batch-LAST persistent-layout substep kernel (kernels/wenobatch.py):
     # same conditions, per-scenario dt/time in the packed rows
@@ -271,16 +279,22 @@ def _solve_core(
 
                     lift = hjstep.lift
                     lower = hjstep.lower
+                    # pgrid == grid single-device; the LOCAL block grid
+                    # (with pallas_origin coordinate offsets and ppermute
+                    # ghost-row refresh) under x-only sharding
                     rk_step = lambda t, vq, eps: hjstep.fused_rk_step(  # noqa: E731
-                        grid, cfg, system, t, vq, t1, alpha_bounds,
-                        comp_flag, eps)
+                        pgrid, cfg, system, t, vq, t1, alpha_bounds,
+                        comp_flag, eps, origin=pallas_origin,
+                        shard=fused_shard)
+
+                fgrid = grid if grid.ndim == 4 else pgrid
 
                 def body(c):
                     t, vq, n, ttr, eps = c
                     t_new, vq_new, eps = rk_step(t, vq, eps)
                     if record_ttr:
-                        v_last = lower(grid, vq)
-                        v_cur = lower(grid, vq_new)
+                        v_last = lower(fgrid, vq)
+                        v_cur = lower(fgrid, vq_new)
                         crossed = ((v_last > 0) & (v_cur <= 0)
                                    & jnp.isinf(ttr))
                         frac = v_last / jnp.where(
@@ -291,17 +305,23 @@ def _solve_core(
                                         ttr)
                     return t_new, vq_new, n + 1, ttr, eps
 
-                vq0 = lift(grid, v)
+                vq0 = lift(fgrid, v)
                 if use_fused_batch:
                     eps0 = fmod.initial_epsilon_batch(grid, cfg, vq0)
                 elif grid.ndim == 4:
                     eps0 = hjstep4d.initial_epsilon_4d(grid, cfg, v)
                 else:
-                    eps0 = hjstep.initial_epsilon(grid, cfg, vq0)
+                    if fused_shard is not None:
+                        # lift BC-padded the sharded x axis; pull the real
+                        # ghost rows from the ring neighbours first
+                        vq0 = hjstep.refresh_x_ghosts_sharded(
+                            pgrid, vq0, fused_shard[0])
+                    eps0 = hjstep.initial_epsilon(pgrid, cfg, vq0,
+                                                  ops=ops)
                 _, vq, n, ttr, _ = jax.lax.while_loop(
                     cond, body,
                     (t0, vq0, jnp.zeros((), jnp.int32), ttr, eps0))
-                return lower(grid, vq), n, ttr
+                return lower(fgrid, vq), n, ttr
 
             def body(c):
                 t, v, n, ttr = c

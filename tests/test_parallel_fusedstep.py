@@ -1,0 +1,109 @@
+"""Sharded fused RK-substep path: x-sharded solves run the persistent-layout
+kernel per shard (x-ghost rows refresh via ppermute halo exchange; the
+lagged-epsilon carry pmax-reduces across shards).
+
+Interpret-mode Pallas inside shard_map on the 8-virtual-device CPU mesh,
+like tests/test_parallel.py's sharded-RHS coverage."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from levelsetpy_tpu import (DubinsRel, SchemeConfig, create_grid, cylinder,
+                            solve)
+from levelsetpy_tpu.parallel import make_mesh, solve_sharded
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+
+def setup(shape, periodic_x=False):
+    dims = [2] + ([0] if periodic_x else [])
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], shape,
+                       periodic_dims=dims)
+    xs = grid.mesh_broadcastable(jnp.float32)
+    v = cylinder(grid, ignore_axes=[2], radius=5.0) \
+        + 0.5 * jnp.sin(xs[2]) * jnp.cos(0.3 * xs[0]) * jnp.cos(0.2 * xs[1])
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    return grid, system, v
+
+
+@pytest.mark.parametrize("eps_method", ["maxOverGrid", "constant"])
+def test_sharded_fused_step_matches_single(interpret_pallas, eps_method):
+    grid, system, v = setup((32, 20, 16))
+    tau = jnp.linspace(0.0, 0.2, 3)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True,
+                       epsilon_method=eps_method)
+    mesh = make_mesh({"x": 4})
+    r_sh = solve_sharded(grid, system, v, tau, shard_axes={0: "x"},
+                         mesh=mesh, cfg=cfg, comp_method="minVOverTime")
+    r_1 = solve(grid, system, v, tau, cfg=cfg, comp_method="minVOverTime")
+    scale = float(jnp.max(jnp.abs(r_1.values)))
+    np.testing.assert_allclose(np.asarray(r_sh.values),
+                               np.asarray(r_1.values), atol=2e-5 * scale)
+    assert int(r_sh.steps) == int(r_1.steps)
+
+
+def test_sharded_fused_step_route_is_taken(interpret_pallas):
+    """The x-only sharded config must actually route through the fused
+    substep kernel (guards against a silent fallback making the equality
+    test vacuous)."""
+    from levelsetpy_tpu.kernels import hjstep
+
+    calls = []
+    orig = hjstep.fused_rk_step
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    hjstep.fused_rk_step, saved = spy, orig
+    try:
+        grid, system, v = setup((32, 20, 16))
+        cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+        mesh = make_mesh({"x": 4})
+        solve_sharded(grid, system, v, jnp.array([0.0, 0.1]),
+                      shard_axes={0: "x"}, mesh=mesh, cfg=cfg)
+    finally:
+        hjstep.fused_rk_step = saved
+    assert calls, "sharded solve did not route through fused_rk_step"
+
+
+def test_sharded_fused_step_periodic_x(interpret_pallas):
+    """Periodic global x: the shard ring IS the boundary condition for the
+    x-ghost refresh."""
+    grid, system, v = setup((32, 16, 16), periodic_x=True)
+    tau = jnp.array([0.0, 0.15])
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    mesh = make_mesh({"x": 4})
+    r_sh = solve_sharded(grid, system, v, tau, shard_axes={0: "x"},
+                         mesh=mesh, cfg=cfg)
+    r_1 = solve(grid, system, v, tau, cfg=cfg)
+    scale = float(jnp.max(jnp.abs(r_1.values)))
+    np.testing.assert_allclose(np.asarray(r_sh.values),
+                               np.asarray(r_1.values), atol=2e-5 * scale)
+
+
+def test_sharded_fused_step_fallback_multi_axis(interpret_pallas):
+    """y-sharded (or 2-axis) configs must FALL BACK to the per-RHS path —
+    the substep kernel's in-kernel y/z ghost fill is only valid when those
+    axes are whole per shard — and still match the single-device solve."""
+    grid, system, v = setup((16, 32, 16))
+    tau = jnp.array([0.0, 0.12])
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    mesh = make_mesh({"x": 2, "y": 2})
+    r_sh = solve_sharded(grid, system, v, tau,
+                         shard_axes={0: "x", 1: "y"}, mesh=mesh, cfg=cfg)
+    r_1 = solve(grid, system, v, tau, cfg=cfg)
+    scale = float(jnp.max(jnp.abs(r_1.values)))
+    np.testing.assert_allclose(np.asarray(r_sh.values),
+                               np.asarray(r_1.values), atol=2e-5 * scale)
