@@ -138,7 +138,9 @@ def system_closures_4d(grid: Grid, system, dtype):
     Like ``weno3d.system_closures`` but the last TWO grid axes share the
     lane dimension: their coordinates are ``(1, 1, L)`` arrays derived from
     the lane index (``z = l // (w+6) - 3``, ``w = l % (w+6) - 3``).  Axis
-    0/1 coords stay broadcastable singletons.
+    0/1 coords stay broadcastable singletons.  ``starts`` is the 4-tuple of
+    global index offsets (block start + shard origin along x; the shard
+    origin alone elsewhere — zeros single-device).
     """
     flat_params, rebuild = flatten_system(system, dtype)
     _, _, wwidth = aligned_dims_4d(grid)
@@ -148,24 +150,23 @@ def system_closures_4d(grid: Grid, system, dtype):
         out = []
         ix = jax.lax.broadcasted_iota(jnp.int32, (bx, 1, 1), 0) + starts[0]
         out.append(grid.lo[0] + ix.astype(dtype) * grid.dx[0])
-        iy = jax.lax.broadcasted_iota(jnp.int32, (1, yps, 1), 1) - 3
+        iy = jax.lax.broadcasted_iota(jnp.int32, (1, yps, 1), 1) - 3 \
+            + starts[1]
         out.append(grid.lo[1] + iy.astype(dtype) * grid.dx[1])
         il = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
-        iz = il // wwidth - 3
-        iw = il % wwidth - 3
+        iz = il // wwidth - 3 + starts[2]
+        iw = il % wwidth - 3 + starts[3]
         out.append(grid.lo[2] + iz.astype(dtype) * grid.dx[2])
         out.append(grid.lo[3] + iw.astype(dtype) * grid.dx[3])
         return tuple(out)
 
-    def ham_fn(tt, start_x, p, params_ref):
+    def ham_fn(tt, starts, p, params_ref):
         sys_k = rebuild(params_ref)
-        return sys_k.hamiltonian(
-            tt, coords_at((start_x,), p[0].shape), p)
+        return sys_k.hamiltonian(tt, coords_at(starts, p[0].shape), p)
 
-    def alpha_fn(tt, start_x, shape, params_ref, axis):
+    def alpha_fn(tt, starts, shape, params_ref, axis):
         sys_k = rebuild(params_ref)
-        return sys_k.alpha(tt, coords_at((start_x,), shape), None, None,
-                           axis)
+        return sys_k.alpha(tt, coords_at(starts, shape), None, None, axis)
 
     return flat_params, ham_fn, alpha_fn
 
@@ -190,6 +191,9 @@ def fused_substep_4d(
     restrict: str | None = None,
     block_x: int = 8,
     want_eps: bool = False,
+    origin=None,                 # per-axis global index offset (4 traced
+                                 # int32) — the shard's block start inside
+                                 # shard_map
 ):
     """One fused RK substep on the packed 4-D layout; returns ``out`` with
     y/z/w ghost layers filled (call ``hjstep.refresh_x_ghosts`` after).
@@ -209,8 +213,8 @@ def fused_substep_4d(
     need_va = (ca != 0.0) or (comp is not None and comp_src == "va")
     scaled = inv_eps is not None
 
-    def kernel(eps_ref, inv_ref, sc_ref, params_ref, vb_hbm, va_hbm, out_hbm,
-               *rest):
+    def kernel(eps_ref, inv_ref, sc_ref, params_ref, org_ref, vb_hbm,
+               va_hbm, out_hbm, *rest):
         if want_eps:
             (epsacc, slabs, vas, stages, sems_in, sems_out) = rest
         else:
@@ -290,18 +294,20 @@ def fused_substep_4d(
                 acc_eps(bi, 2, d1_2)
                 acc_eps(bi, 3, d1_3)
 
-            sx = start_x(bi)
+            starts = (org_ref[0] + start_x(bi), org_ref[1], org_ref[2],
+                      org_ref[3])
             p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1),
                  0.5 * (dl2 + dr2), 0.5 * (dl3 + dr3))
-            ham = ham_fn(tt, sx, p, params_ref)
+            ham = ham_fn(tt, starts, p, params_ref)
             shape = center.shape
-            diss = (0.5 * (dr0 - dl0) * alpha_fn(tt, sx, shape, params_ref, 0)
+            diss = (0.5 * (dr0 - dl0)
+                    * alpha_fn(tt, starts, shape, params_ref, 0)
                     + 0.5 * (dr1 - dl1)
-                    * alpha_fn(tt, sx, shape, params_ref, 1)
+                    * alpha_fn(tt, starts, shape, params_ref, 1)
                     + 0.5 * (dr2 - dl2)
-                    * alpha_fn(tt, sx, shape, params_ref, 2)
+                    * alpha_fn(tt, starts, shape, params_ref, 2)
                     + 0.5 * (dr3 - dl3)
-                    * alpha_fn(tt, sx, shape, params_ref, 3))
+                    * alpha_fn(tt, starts, shape, params_ref, 3))
             f = -(ham - diss)
             if restrict == "min":
                 f = jnp.minimum(f, 0.0)
@@ -343,6 +349,7 @@ def fused_substep_4d(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # inv_eps
             pl.BlockSpec(memory_space=pltpu.SMEM),   # [t, cd]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # origin
             pl.BlockSpec(memory_space=pltpu.HBM),    # vb
             pl.BlockSpec(memory_space=pltpu.HBM),    # va
         ],
@@ -364,6 +371,8 @@ def fused_substep_4d(
             eps if inv_eps is None else inv_eps, dtype), (4,)),
         jnp.stack([jnp.asarray(t, dtype), jnp.asarray(cd, dtype)]),
         jnp.asarray(params, dtype).reshape(-1),
+        (jnp.zeros((4,), jnp.int32) if origin is None
+         else jnp.stack([jnp.asarray(o, jnp.int32) for o in origin])),
         vb,
         va,
     )
@@ -398,19 +407,29 @@ def fused4d_eligible(grid: Grid, cfg, *trees) -> bool:
     return fits_vmem_4d(grid)
 
 
-def initial_epsilon_4d(grid: Grid, cfg, v):
+def initial_epsilon_4d(grid: Grid, cfg, v, ops=None):
     """Starting per-axis epsilon for the lagged carry, computed from the
-    GRID-SHAPED state with the standalone pass (once per interval)."""
+    GRID-SHAPED state with the standalone pass (once per interval).  Pass
+    the sharded ``GridOps`` inside shard_map: its ``pad`` halo-exchanges
+    the sharded axis (so the cross-shard-boundary D1 pairs are included)
+    and its reductions pmax globally."""
     from ..terms import local_ops, pallas_epsilon
 
-    return pallas_epsilon(grid, cfg, pad4(grid, v), local_ops(grid))
+    if ops is None:
+        return pallas_epsilon(grid, cfg, pad4(grid, v), local_ops(grid))
+    vp = v
+    for axis in range(4):
+        vp = ops.pad(vp, axis, 3)
+    return pallas_epsilon(grid, cfg, vp, ops)
 
 
 def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
-                     comp: str | None, eps):
+                     comp: str | None, eps, origin=None, shard=None):
     """One CFL-limited TVD-RK step on the packed 4-D state; returns
     ``(t_new, v_new, eps_new)`` — the 4-D analog of
-    ``hjstep.fused_rk_step`` (same lagged-epsilon carry)."""
+    ``hjstep.fused_rk_step`` (same lagged-epsilon carry and, under x-only
+    sharding, the same per-shard execution: ``origin`` = global block
+    starts, ``shard = (x mesh-axis name, all mesh axis names)``)."""
     dtype = vq.dtype
     flat_params, ham_fn, alpha_fn = system_closures_4d(grid, system, dtype)
     dt = jnp.minimum(cfg.factor_cfl * alpha_bounds.step_bound, t_target - t)
@@ -425,12 +444,18 @@ def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
             grid, ham_fn, alpha_fn, vb, va, eps, tt,
             (1.0 / eps) if scaled else None, cd, flat_params,
             ca=ca, cb=cb, comp=fuse_comp, comp_src=comp_src,
-            restrict=cfg.restrict_update, want_eps=scaled)
+            restrict=cfg.restrict_update, want_eps=scaled, origin=origin)
         if scaled:
             o, d1max = r
             eps_next = 1e-6 * jnp.max(d1max, axis=(1, 2)) + floor
+            if shard is not None:
+                eps_next = jax.lax.pmax(eps_next, shard[1])
         else:
             o, eps_next = r, eps
+        if shard is not None:
+            from .hjstep import refresh_x_ghosts_sharded
+
+            return refresh_x_ghosts_sharded(grid, o, shard[0]), eps_next
         return refresh_x_ghosts(grid, o), eps_next
 
     if cfg.rk_order == 1:

@@ -59,13 +59,25 @@ def flatten_system(system, dtype):
         if leaves else jnp.zeros((1,), dtype))
 
     def rebuild(params_ref):
+        def build(shp, offset):
+            # nested stacks instead of a flat stack + reshape: Mosaic has
+            # no shape-cast for vector<N> -> vector<AxB> (hit by (N, 3)
+            # flock position leaves inside the fused substep kernels)
+            if len(shp) == 1:
+                return jnp.stack(
+                    [params_ref[offset + k] for k in range(shp[0])])
+            stride = 1
+            for s in shp[1:]:
+                stride *= s
+            return jnp.stack([build(shp[1:], offset + i * stride)
+                              for i in range(shp[0])])
+
         rebuilt, off = [], 0
         for shp, sz in zip(leaf_shapes, leaf_sizes):
             if shp == ():
                 vals = params_ref[off]  # plain SMEM scalar read
             else:  # static offsets: off/sz are python ints
-                vals = jnp.stack(
-                    [params_ref[off + k] for k in range(sz)]).reshape(shp)
+                vals = build(shp, off)
             rebuilt.append(vals)
             off += sz
         return jax.tree.unflatten(treedef, rebuilt)

@@ -215,13 +215,14 @@ def _sharded_run(grid, cfg, comp_method, shard_items, mesh, obstacles_tv,
     nd = grid.ndim
     mesh_axes = tuple(mesh.axis_names)
     lgrid = local_grid(grid, shard_axes, mesh)
-    # x-only-sharded 3-D grids run the persistent-layout fused RK-step
-    # kernel PER SHARD (kernels/hjstep.py): the kernel's in-kernel y/z
-    # ghost fill is valid because those axes are whole per shard, the
-    # x-ghost rows refresh via ppermute, and the lagged epsilon
-    # pmax-reduces.  Any other sharding falls back to the per-RHS path.
+    # x-only-sharded 3-D/4-D grids run the persistent-layout fused RK-step
+    # kernel PER SHARD (kernels/hjstep.py / hjstep4d.py): the kernel's
+    # in-kernel trailing-axis ghost fill is valid because those axes are
+    # whole per shard, the x-ghost rows refresh via ppermute, and the
+    # lagged epsilon pmax-reduces.  Any other sharding falls back to the
+    # per-RHS path.
     fused_shard = ((shard_axes[0], mesh_axes)
-                   if set(shard_axes) == {0} and nd == 3 else None)
+                   if set(shard_axes) == {0} and nd in (3, 4) else None)
 
     grid_spec = P(*(shard_axes.get(i) for i in range(nd)))
     grid_spec_t = P(None, *(shard_axes.get(i) for i in range(nd)))

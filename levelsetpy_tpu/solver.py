@@ -155,14 +155,12 @@ def _solve_core(
         and obstacles is None and targets is None and not has_discount
         and noise_sigma is None
     )
-    if fused_shard is not None and grid.ndim != 3:
-        fused_ok = False        # sharded fused step: 3-D x-sharding only
     if grid.ndim == 4:
         from .kernels.hjstep4d import fused4d_eligible
 
-        step_eligible = fused4d_eligible(grid, cfg, v0, system)
-    else:
         # eligibility on the LOCAL block grid (== grid single-device)
+        step_eligible = fused4d_eligible(pgrid, cfg, v0, system)
+    else:
         step_eligible = pallas_eligible(pgrid, cfg, v0, system)
     use_fused_step = fused_ok and n_batch is None and step_eligible
     # batch-LAST persistent-layout substep kernel (kernels/wenobatch.py):
@@ -272,8 +270,9 @@ def _solve_core(
                     lift = hjstep4d.lift4
                     lower = hjstep4d.lower4
                     rk_step = lambda t, vq, eps: hjstep4d.fused_rk_step_4d(  # noqa: E731
-                        grid, cfg, system, t, vq, t1, alpha_bounds,
-                        comp_flag, eps)
+                        pgrid, cfg, system, t, vq, t1, alpha_bounds,
+                        comp_flag, eps, origin=pallas_origin,
+                        shard=fused_shard)
                 else:
                     from .kernels import hjstep
 
@@ -287,7 +286,7 @@ def _solve_core(
                         comp_flag, eps, origin=pallas_origin,
                         shard=fused_shard)
 
-                fgrid = grid if grid.ndim == 4 else pgrid
+                fgrid = pgrid
 
                 def body(c):
                     t, vq, n, ttr, eps = c
@@ -306,16 +305,20 @@ def _solve_core(
                     return t_new, vq_new, n + 1, ttr, eps
 
                 vq0 = lift(fgrid, v)
+                if fused_shard is not None and not use_fused_batch:
+                    # lift BC-padded the sharded x axis; pull the real
+                    # ghost rows from the ring neighbours first
+                    from .kernels.hjstep import refresh_x_ghosts_sharded
+
+                    vq0 = refresh_x_ghosts_sharded(pgrid, vq0,
+                                                   fused_shard[0])
                 if use_fused_batch:
                     eps0 = fmod.initial_epsilon_batch(grid, cfg, vq0)
                 elif grid.ndim == 4:
-                    eps0 = hjstep4d.initial_epsilon_4d(grid, cfg, v)
+                    eps0 = hjstep4d.initial_epsilon_4d(
+                        pgrid, cfg, v,
+                        ops=ops if fused_shard is not None else None)
                 else:
-                    if fused_shard is not None:
-                        # lift BC-padded the sharded x axis; pull the real
-                        # ghost rows from the ring neighbours first
-                        vq0 = hjstep.refresh_x_ghosts_sharded(
-                            pgrid, vq0, fused_shard[0])
                     eps0 = hjstep.initial_epsilon(pgrid, cfg, vq0,
                                                   ops=ops)
                 _, vq, n, ttr, _ = jax.lax.while_loop(

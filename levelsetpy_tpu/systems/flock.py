@@ -151,8 +151,12 @@ class Flock(System):
         return DubinsRel(v_e=self.v_e, v_p=self.v_p, w_bound=self.w_bound)
 
     def _others(self, arr):
-        return jnp.delete(arr, self.attacked, axis=0,
-                          assume_unique_indices=True)
+        # static unit-index gather rather than jnp.delete: delete lowers
+        # through a zero-length slice when attacked == 0, which Mosaic
+        # rejects ("vector types must have positive constant sizes") when
+        # the Hamiltonian runs inside the fused Pallas kernels
+        keep = [i for i in range(self.n_agents) if i != self.attacked]
+        return jnp.stack([arr[i] for i in keep], axis=0)
 
     def _abs_hamiltonian(self, theta, w, p):
         """Absolute-coordinates member Hamiltonian at the agent's state
@@ -170,9 +174,14 @@ class Flock(System):
             return rel_ham
         thetas = self._others(self.positions)[:, 2]
         ws = self._others(self.headings)
-        abs_hams = jax.vmap(
-            lambda th, w: self._abs_hamiltonian(th, w, p))(thetas, ws)
-        return jnp.minimum(rel_ham, jnp.min(abs_hams, axis=0))
+        # running min over the (static) member count instead of a vmapped
+        # stack: no (N-1, *grid) intermediate — one live grid-sized array
+        # whether on the XLA path or inside the fused kernels
+        ham = rel_ham
+        for i in range(self.n_agents - 1):
+            ham = jnp.minimum(
+                ham, self._abs_hamiltonian(thetas[i], ws[i], p))
+        return ham
 
     def alpha(self, t, x, p_min, p_max, axis):
         """Elementwise max of member dissipation bounds

@@ -80,8 +80,77 @@ def pallas_equivalence(n=71):
           f"max|diff|={err:.2e} (rel {err / scale:.2e})")
 
 
+def fused_step_solve(n=71, t_end=0.25):
+    """Full solve through the fused RK-step kernel (lagged maxOverGrid eps)
+    vs the XLA path — on a theta-CONSTANT target, the regime where the
+    lag's eps transient once overflowed to NaN on real Mosaic (frozen via
+    TPU min(NaN, va)); see weno3d._weno_weight_tables clamp."""
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], n,
+                       periodic_dims=[2])
+    v = cylinder(grid, ignore_axes=[2], radius=5.0)
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    outs = {}
+    for name, flag in (("xla", False), ("pallas", True)):
+        cfg = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                           use_pallas=flag)
+        r = solve(grid, system, v, tau, cfg=cfg,
+                  comp_method="minVOverTime", save_all=False)
+        outs[name] = np.asarray(r.values)
+    err = np.abs(outs["xla"] - outs["pallas"]).max()
+    scale = np.abs(outs["xla"]).max()
+    grew = (outs["pallas"] <= 0).mean() > (np.asarray(v) <= 0).mean()
+    check("fused RK-step solve vs xla (theta-constant target)",
+          err < 1e-3 * scale and grew,
+          f"max|diff|={err:.2e} (rel {err / scale:.2e}) tube_grew={grew}")
+
+
+def fused_step_4d(shape=(48, 48, 24, 24), t_end=0.3):
+    """4-D packed-lane substep kernel (kernels/hjstep4d.py) vs XLA."""
+    from levelsetpy_tpu import RocketSystem
+
+    grid = create_grid([-6000, -6000, -300, -300], [6000, 6000, 300, 300],
+                       shape)
+    v = cylinder(grid, ignore_axes=[2, 3], radius=100.0)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    outs = {}
+    for name, flag in (("xla", False), ("pallas", True)):
+        cfg = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                           use_pallas=flag)
+        r = solve(grid, RocketSystem(), v, tau, cfg=cfg, save_all=False)
+        outs[name] = np.asarray(r.values)
+    err = np.abs(outs["xla"] - outs["pallas"]).max()
+    scale = np.abs(outs["xla"]).max()
+    check("fused 4-D substep kernel vs xla", err < 1e-3 * scale,
+          f"max|diff|={err:.2e} (rel {err / scale:.2e})")
+
+
+def sharded_fused_step(n=71, t_end=0.25):
+    """x-sharded fused RK-step at mesh size 1 must match single-device
+    (mesh>1 paths are covered on the 8-virtual-device CPU mesh in
+    tests/test_parallel_fusedstep.py)."""
+    from levelsetpy_tpu.parallel import make_mesh, solve_sharded
+
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], n,
+                       periodic_dims=[2])
+    v = cylinder(grid, ignore_axes=[2], radius=5.0)
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    r1 = solve(grid, system, v, tau, cfg=cfg, save_all=False)
+    rs = solve_sharded(grid, system, v, tau, shard_axes={0: "x"},
+                       mesh=make_mesh({"x": 1}), cfg=cfg, save_all=False)
+    err = np.abs(np.asarray(r1.values) - np.asarray(rs.values)).max()
+    scale = np.abs(np.asarray(r1.values)).max()
+    check("sharded fused RK-step (mesh=1) vs single-device",
+          err < 1e-5 * scale, f"max|diff|={err:.2e}")
+
+
 if __name__ == "__main__":
     print("device:", jax.devices()[0], flush=True)
     accuracy_gate()
     pallas_equivalence()
+    fused_step_solve()
+    fused_step_4d()
+    sharded_fused_step()
     sys.exit(1 if FAILED else 0)

@@ -93,6 +93,30 @@ def test_sharded_fused_step_periodic_x(interpret_pallas):
                                np.asarray(r_1.values), atol=2e-5 * scale)
 
 
+def test_sharded_fused_step_4d(interpret_pallas):
+    """x-sharded 4-D grids route through the packed-lane substep kernel
+    per shard (hjstep4d with origin offsets + ppermute x-ghost refresh)."""
+    from levelsetpy_tpu import PlanarDoubleIntegrator
+
+    grid = create_grid([-2.0, -2.0, -1.0, -1.0], [2.0, 2.0, 1.0, 1.0],
+                       (16, 10, 8, 8))
+    xs = grid.mesh_broadcastable(jnp.float32)
+    v = cylinder(grid, ignore_axes=[2, 3], radius=0.8) \
+        + 0.2 * jnp.sin(2 * xs[2]) * jnp.cos(3 * xs[3]) \
+        * jnp.cos(xs[0] + 0.5 * xs[1])
+    system = PlanarDoubleIntegrator(u_max=1.0, d_max=0.2)
+    tau = jnp.array([0.0, 0.12])
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    mesh = make_mesh({"x": 4})
+    r_sh = solve_sharded(grid, system, v, tau, shard_axes={0: "x"},
+                         mesh=mesh, cfg=cfg, comp_method="minVOverTime")
+    r_1 = solve(grid, system, v, tau, cfg=cfg, comp_method="minVOverTime")
+    scale = float(jnp.max(jnp.abs(r_1.values)))
+    np.testing.assert_allclose(np.asarray(r_sh.values),
+                               np.asarray(r_1.values), atol=2e-5 * scale)
+    assert int(r_sh.steps) == int(r_1.steps)
+
+
 def test_sharded_fused_step_fallback_multi_axis(interpret_pallas):
     """y-sharded (or 2-axis) configs must FALL BACK to the per-RHS path —
     the substep kernel's in-kernel y/z ghost fill is only valid when those
