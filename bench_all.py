@@ -306,7 +306,6 @@ def bench_rocket4d_sharded(shape=(48, 48, 24, 24), t_end=0.3):
     # wall comparison is swamped by the ~0.1 s per-call link overhead;
     # report the MARGINAL per-step cost between two horizons instead
     # (CLAUDE.md methodology — the same number profile_4d.py measures).
-    import jax.numpy as jnp2  # noqa: F401  (jnp already imported above)
     cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
 
     def run_h(cfg_, t_e, eps=0.0):

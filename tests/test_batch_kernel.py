@@ -98,6 +98,34 @@ def test_batch_solve_matches_xla(interpret_pallas):
     assert int(r1.steps) == int(r2.steps)
 
 
+def test_batch_solve_matches_xla_constant_eps(interpret_pallas):
+    """Tight-tolerance twin of the solve parity test: with
+    epsilon_method='constant' there is no lagged-eps transient, so the
+    fused path must track the XLA path at f32 re-association level —
+    layout/stencil regressions cannot hide inside the 5e-4 lagged-eps
+    budget above (ADVICE r3)."""
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       (14, 12, 16), periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], radius=5.0)
+    system = DubinsRel(
+        v_e=jnp.linspace(3.0, 7.0, B, dtype=jnp.float32),
+        v_p=5.0,
+        w_bound=jnp.linspace(0.5, 2.0, B, dtype=jnp.float32))
+    tau = jnp.array([0.0, 0.15], jnp.float32)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="constant")
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="constant", use_pallas=True)
+    r1 = solve_batch(grid, system, target.astype(jnp.float32), tau,
+                     cfg=cfg_x, save_all=False)
+    r2 = solve_batch(grid, system, target.astype(jnp.float32), tau,
+                     cfg=cfg_p, save_all=False)
+    scale = float(jnp.max(jnp.abs(r1.values)))
+    np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
+                               atol=2e-5 * scale)
+    assert int(r1.steps) == int(r2.steps)
+
+
 def test_batch_fused_substep_route_is_taken():
     """The minVOverTime no-operand config must satisfy the fused-substep
     eligibility (guards against silent fallback making the solve tests
