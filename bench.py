@@ -108,11 +108,28 @@ def main():
     )
 
     cpu_seconds = cpu_reference_seconds(n_steps)
+
+    # Machine-readable MFU vs the VPU roofline (VERDICT r3 #9).  Model
+    # from the r3 kernel analysis (CLAUDE.md): ~310 VPU flop per PADDED
+    # element per RK substep (WENO5 on 3 axes + Hamiltonian + dissipation,
+    # shared-table formulation), evaluated on the kernel's aligned layout
+    # (junk lanes compute too), 2 substeps per TVD-RK2 step; v5e VPU f32
+    # peak ~3.9e12 flop/s (measured-roofline estimate, same constant the
+    # r3 profile analysis used).
+    from levelsetpy_tpu.kernels.weno3d import aligned_dims
+
+    zp, _, yp = aligned_dims(grid)
+    flops_per_substep = 310.0 * SHAPE[0] * yp * zp
+    achieved = flops_per_substep * 2 * n_steps / tpu_seconds
+    vpu_peak = 3.9e12
     rec = {
         "metric": "air3d_101cube_brt_T2.0_wallclock",
         "value": round(tpu_seconds, 4),
         "unit": "s",
         "vs_baseline": round(cpu_seconds / tpu_seconds, 2),
+        "mfu": round(achieved / vpu_peak, 4),
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_model": "310 flop/padded-elem/substep vs 3.9 TFLOP/s VPU f32",
     }
     print(json.dumps(rec))
     print(f"steps={n_steps} steps/s={n_steps / tpu_seconds:.1f} "

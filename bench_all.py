@@ -124,6 +124,53 @@ def bench_di2d():
               "kernel's real-TPU A/B is the weno2d_kernel row")
 
 
+def bench_di2d_batch(batch=128, n=101, t_end=1.0):
+    """BASELINE config #1 measured at DEVICE throughput (VERDICT r3 #6):
+    the single 101^2 solve is launch-latency-bound (40 KB grid, remote
+    link), so run a 128-scenario ``solve_batch`` u_max sweep of the SAME
+    config in one program and report per-solve throughput vs the numpy
+    reference — the number a parameter-sweep user actually gets."""
+    import jax.numpy as jnp
+
+    from levelsetpy_tpu import (DoubleIntegrator, SchemeConfig, create_grid,
+                                solve_batch, sphere)
+
+    cfl = 0.8
+    g = create_grid([-1.0, -1.0], [1.0, 1.0], n)
+    phi0 = sphere(g, center=[0.0, 0.0], radius=0.1).astype(jnp.float32)
+    sys_ = DoubleIntegrator(
+        u_max=jnp.linspace(0.8, 1.2, batch, dtype=jnp.float32))
+    cfg = SchemeConfig(accuracy="first", rk_order=1, factor_cfl=cfl)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+
+    def run():
+        r = solve_batch(g, sys_, phi0, tau, cfg=cfg, save_all=False)
+        float(jnp.sum(r.values))   # scalar checksum fetch (CLAUDE.md)
+        return r
+
+    res = run()
+    n_steps = int(res.steps)
+    tpu_s = _best_of(run)
+
+    # numpy per-solve baseline: same kernel as bench_di2d, u_max = 1.0
+    xs = np.linspace(-1, 1, n)
+    x2 = np.broadcast_to(xs[None, :], (n, n))
+    v = np.asarray(phi0, np.float32)
+    dx = (2.0 / (n - 1), 2.0 / (n - 1))
+    v, t = numpy_di2d_step(v, x2, dx, 1.0, 0.0, t_end, cfl)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        v, t = numpy_di2d_step(v, x2, dx, 1.0, t, t_end, cfl)
+    cpu_per_solve = (time.perf_counter() - t0) / 2 * n_steps
+    emit(f"di_2d_101sq_batch{batch}_T{t_end}", tpu_s, "s",
+         cpu_per_solve * batch / tpu_s,
+         solves_per_s=round(batch / tpu_s, 1), steps=n_steps,
+         cpu_per_solve_s=round(cpu_per_solve, 4),
+         note="config #1 at device throughput: 128-scenario batch-LAST "
+              "sweep in one program; vs_baseline = numpy per-solve cost "
+              "x 128 / batch wall")
+
+
 def bench_weno2d_kernel(n=101, t_end=1.0):
     """Real-TPU A/B of the 2-D fused plane kernel (kernels/weno2d.py) —
     the production 2-D scheme (WENO5+RK2), pallas vs XLA path."""
@@ -332,6 +379,34 @@ def bench_rocket4d_sharded(shape=(48, 48, 24, 24), t_end=0.3):
               "marginal ms/step (two-horizon difference cleans the ~0.1 s "
               "per-call link overhead; no numpy reference)")
 
+    # CONSTRAINED 4-D solve through the fused kernel (VERDICT r3 #1 done
+    # criterion): obstacle masking rides the fused epilogue as one DMA
+    # operand + a max in the final substep — the marginal per-step cost
+    # must stay within ~10% of the unconstrained fused number.
+    obstacle = cylinder(grid, ignore_axes=[2, 3],
+                        center=[3000.0, 3000.0, 0.0, 0.0], radius=800.0)
+
+    def run_obs(t_e, eps=0.0):
+        r = solve(grid, system, target + eps,
+                  jnp.array([0.0, t_e], jnp.float32), cfg=cfg_p,
+                  obstacles=obstacle, save_all=False)
+        float(jnp.sum(r.values))
+        return int(r.steps)
+
+    walls, steps = {}, {}
+    for t_e in (0.3, 3.0):
+        steps[t_e] = run_obs(t_e)
+        walls[t_e] = min(
+            min(_timed(lambda e=e: run_obs(t_e, e))
+                for e in (1e-3, 2e-3, 3e-3)) for _ in range(2))
+    marg_obs = (walls[3.0] - walls[0.3]) / (steps[3.0] - steps[0.3])
+    emit(f"rocket4d_{'x'.join(map(str, shape))}_fused_obstacle_ms_per_step",
+         marg_obs * 1e3, "ms/step", marg["fused"] / marg_obs,
+         unconstrained_ms_per_step=round(marg["fused"] * 1e3, 3),
+         note="vs_baseline = unconstrained-fused ms/step / obstacle-fused "
+              "ms/step (>= ~0.9 means the constrained solve keeps the "
+              "fused speed; VERDICT r3 #1)")
+
 
 def bench_flock3d(n=71, agents=5, t_end=0.4):
     """BASELINE config #4 (flock multi-agent reachability, sharded): the
@@ -377,8 +452,9 @@ def bench_flock3d(n=71, agents=5, t_end=0.4):
          note="vs_baseline = unsharded wall / sharded wall "
               "(sharding overhead at mesh size 1; no numpy reference)")
 
-    # x-sharded + fused RK-step kernel (the 5-agent union Hamiltonian and
-    # its alphas evaluate in-kernel from iota coords)
+    # x-sharded + fused RK-step kernel: the union Hamiltonian evaluates
+    # in-kernel from iota coords; member-maxima alphas ride as PRECOMPUTED
+    # DMA operands (Flock.alpha_via_operands, VERDICT r3 #2)
     cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
 
     def run_fused():
@@ -481,6 +557,8 @@ def main():
 
     if "di2d" not in args.skip:
         bench_di2d()
+    if "di2d_batch" not in args.skip:
+        bench_di2d_batch()
     if "weno2d" not in args.skip:
         bench_weno2d_kernel()
     if "headline" not in args.skip:

@@ -40,6 +40,7 @@ from .systems.double_integrator import (DoubleIntegrator,
                                         PlanarDoubleIntegrator)
 from .systems.dubins import DubinsAbs, DubinsRel
 from .systems.flock import Flock
+from .systems.holonomic import Holonomic
 from .systems.rocket import RocketSystem
 from .extra_terms import (make_convection_term, make_curvature_term,
                           make_discount_term, make_forcing_term,

@@ -60,6 +60,12 @@ __all__ = [
     "eno2_from_padded",
     "eno3_from_padded",
     "weno5_from_padded",
+    "eno3b_from_padded",
+    "weno5b_from_padded",
+    "upwind_eno3b",
+    "upwind_weno5b",
+    "weno5_candidates_from_padded",
+    "self_check_derivatives",
     "padded_fn",
     "centered_first",
     "second_derivative",
@@ -196,6 +202,153 @@ def eno3_from_padded(dx, gdata, axis: int, n: int):
 def upwind_eno3(grid: Grid, data: jnp.ndarray, axis: int):
     g = pad_axis(grid, data, axis, 3)
     return eno3_from_padded(grid.dx[axis], g, axis, data.shape[axis])
+
+
+# ---------------------------------------------- independent 'b' formulations
+#
+# The reference ships TWO algebraically-equivalent implementations per
+# high-order scheme (``upwind_first_eno3b.py:13``, ``upwind_first_weno5b.py:
+# 14``) and uses agreement between them as its correctness machinery
+# (``check_eq_approx.py:9``).  The functions below are that second,
+# independently-derived path: each side's one-sided difference set is built
+# DIRECTLY from shifted windows of the padded data (no shared D1 table), the
+# WENO combine uses the textbook ``alpha_i = w_i / (S_i + eps)^2`` form (no
+# shared weight tables, no x10 scaling, no reversal sharing), and the ENO3b
+# candidate selection uses smallest-smoothness (a different rule from the
+# eno3a divided-difference tree).  None of the production path's dataflow
+# tricks (``_weno_tables`` reversal maps, ``_weno_weight_tables`` divide
+# restructuring) appear here, so the two paths act as mutual oracles.
+
+
+def _vterms_direct(dx, gdata, axis: int, n: int, side: str):
+    """The five one-sided differences v1..v5 per node, built directly from
+    shifted data windows (ref ``ENO3bHelper.py:91-121``): left uses
+    ``v_k = (g[j+k+1] - g[j+k]) / dx``, right the reversed set
+    ``v_k = (g[j+6-k] - g[j+5-k]) / dx``."""
+    if side == "L":
+        offs = [k for k in range(5)]
+    else:
+        offs = [5 - k for k in range(5)]
+    return tuple(
+        (_win(gdata, axis, o + 1, n) - _win(gdata, axis, o, n)) / dx
+        for o in offs)
+
+
+def eno3b_from_padded(dx, gdata, axis: int, n: int, generate_all=False):
+    """Third-order ENO by direct candidate construction + smallest-
+    smoothness selection (ref ``upwind_first_eno3b.py:13,101-115``
+    ``choose``).  With ``generate_all`` returns the three candidate
+    approximations per side instead (ref debugging mode)."""
+    def one_side(side):
+        vs = _vterms_direct(dx, gdata, axis, n, side)
+        phis = _candidates(*vs)
+        if generate_all:
+            return phis
+        s1, s2, s3 = _smoothness(*vs)
+        pick1 = (s1 < s2) & (s1 < s3)
+        pick2 = (s1 >= s2) & (s2 < s3)
+        return jnp.where(pick1, phis[0],
+                         jnp.where(pick2, phis[1], phis[2]))
+
+    return one_side("L"), one_side("R")
+
+
+def upwind_eno3b(grid: Grid, data: jnp.ndarray, axis: int,
+                 generate_all=False):
+    g = pad_axis(grid, data, axis, 3)
+    return eno3b_from_padded(grid.dx[axis], g, axis, data.shape[axis],
+                             generate_all)
+
+
+def weno5b_from_padded(dx, gdata, axis: int, n: int, generate_all=False):
+    """Fifth-order WENO by direct per-side calculation (ref
+    ``upwind_first_weno5b.py:14``): candidates and smoothness from each
+    side's own v-terms, textbook ``alpha_i = w_i/(S_i+eps)^2`` weights with
+    ``w = (0.1, 0.6, 0.3)`` and the constant ``eps = 1e-6`` the reference's
+    b-helper uses (``ENO3bHelper.py:159-166`` ``use_comp=False``).  With
+    ``generate_all`` returns the three ENO candidates per side."""
+    eps = 1e-6
+
+    def one_side(side):
+        vs = _vterms_direct(dx, gdata, axis, n, side)
+        phis = _candidates(*vs)
+        if generate_all:
+            return phis
+        s1, s2, s3 = _smoothness(*vs)
+        a1 = 0.1 / (s1 + eps) ** 2
+        a2 = 0.6 / (s2 + eps) ** 2
+        a3 = 0.3 / (s3 + eps) ** 2
+        return (a1 * phis[0] + a2 * phis[1] + a3 * phis[2]) / (a1 + a2 + a3)
+
+    return one_side("L"), one_side("R")
+
+
+def upwind_weno5b(grid: Grid, data: jnp.ndarray, axis: int,
+                  generate_all=False):
+    g = pad_axis(grid, data, axis, 3)
+    return weno5b_from_padded(grid.dx[axis], g, axis, data.shape[axis],
+                              generate_all)
+
+
+def weno5_candidates_from_padded(dx, gdata, axis: int, n: int):
+    """The production (shared-table) path's three ENO candidates per side —
+    the ``generateAll`` debug surface of the 'a' formulation (ref
+    ``upwind_first_weno5a.py:110-135``).  Returned in the O&F
+    (3.25)-(3.27) order used by :func:`weno5b_from_padded` so the two
+    formulations' candidates compare element-for-element."""
+    d1 = _d1(dx, gdata, axis)
+    phis_l, phis_r, _ = _weno_tables(d1, axis, n)
+    # phis_r is stored in selection order (p1r, p3l, p2l); the O&F
+    # candidate order for the right side is (phi1, phi2, phi3) with
+    # phi2^R = p3l and phi3^R = p2l (reversal maps, _weno_tables docstring)
+    return (phis_l, (phis_r[0], phis_r[1], phis_r[2]))
+
+
+def self_check_derivatives(grid: Grid, data, axis: int,
+                           bound: float | None = None):
+    """Cross-check the production shared-table WENO/ENO path against the
+    independent direct-formula 'b' path on real data — the in-repo
+    re-implementation of the reference's ``generateAll`` +
+    ``checkEquivalentApprox`` self-check machinery
+    (``upwind_first_eno3b.py:83-85``).  Host-side debug helper; raises
+    ``AssertionError`` on disagreement.
+
+    Checks, in order:
+      * all three ENO candidates per side agree between formulations,
+      * the reference's L/R candidate equivalences ``phi2^L == phi3^R``
+        and ``phi3^L == phi2^R`` hold on the independent path (they are
+        shared arrays by construction on the production path),
+      * the final WENO5 combine agrees (production path evaluated with the
+        b-path's constant epsilon).
+    """
+    import numpy as np
+
+    data = jnp.asarray(data)
+    if bound is None:
+        bound = 100 * float(jnp.finfo(data.dtype).eps) * max(
+            1.0, float(jnp.max(jnp.abs(data))) / grid.dx[axis])
+    g = pad_axis(grid, data, axis, 3)
+    n = data.shape[axis]
+    dx = grid.dx[axis]
+
+    ca = weno5_candidates_from_padded(dx, g, axis, n)
+    cb = weno5b_from_padded(dx, g, axis, n, generate_all=True)
+    for s, side in enumerate("LR"):
+        for k in range(3):
+            check_equivalent_approx(
+                ca[s][k], cb[s][k], bound,
+                name=f"phi{k + 1}^{side} (shared-table vs direct)")
+    check_equivalent_approx(cb[0][1], cb[1][2], bound,
+                            name="phi2^L vs phi3^R (direct path)")
+    check_equivalent_approx(cb[0][2], cb[1][1], bound,
+                            name="phi3^L vs phi2^R (direct path)")
+
+    wa = weno5_from_padded(dx, g, axis, n, epsilon_method="constant")
+    wb = weno5b_from_padded(dx, g, axis, n)
+    check_equivalent_approx(wa[0], wb[0], bound, name="WENO5 derivL a vs b")
+    check_equivalent_approx(wa[1], wb[1], bound, name="WENO5 derivR a vs b")
+    return float(np.max([np.max(np.abs(np.asarray(x) - np.asarray(y)))
+                         for x, y in zip(wa, wb)]))
 
 
 def _weno_weight_tables(ss, eps, inv_eps=None):
@@ -393,15 +546,22 @@ _PADDED = {
 DERIV_ORDER = {"first": 1, "eno2": 2, "eno3": 3, "weno5": 5}
 
 # The reference ships two formulations per high-order scheme: the divided
-# -difference table variant ('a': upwind_first_eno3a/weno5a) and the direct
-# O&F 3.4 formulas ('b': upwind_first_eno3b/weno5b).  These are algebraically
-# identical (proven in the module docstring); our direct-form implementation
-# IS the 'b' formulation computed with the 'a' data flow, so both names
-# resolve to the same kernels.
-_SCHEMES["eno3a"] = _SCHEMES["eno3b"] = _SCHEMES["eno3"]
-_SCHEMES["weno5a"] = _SCHEMES["weno5b"] = _SCHEMES["weno5"]
-_PADDED["eno3a"] = _PADDED["eno3b"] = _PADDED["eno3"]
-_PADDED["weno5a"] = _PADDED["weno5b"] = _PADDED["weno5"]
+# -difference table variant ('a': upwind_first_eno3a/weno5a — the production
+# path above) and the direct per-side O&F 3.4 formulas ('b':
+# upwind_first_eno3b/weno5b — the independent self-check path).  Both are
+# selectable by name; the b path deliberately shares none of the a path's
+# table/reversal dataflow (see the "independent 'b' formulations" section)
+# so the two act as mutual oracles via ``self_check_derivatives``.
+_SCHEMES["eno3a"] = _SCHEMES["eno3"]
+_SCHEMES["weno5a"] = _SCHEMES["weno5"]
+_SCHEMES["eno3b"] = (upwind_eno3b, 3)
+_SCHEMES["weno5b"] = (upwind_weno5b, 3)
+_PADDED["eno3a"] = _PADDED["eno3"]
+_PADDED["weno5a"] = _PADDED["weno5"]
+_PADDED["eno3b"] = eno3b_from_padded
+_PADDED["weno5b"] = weno5b_from_padded
+DERIV_ORDER["eno3b"] = 3
+DERIV_ORDER["weno5b"] = 5
 
 
 def check_equivalent_approx(approx1, approx2, bound, name="approximations"):

@@ -19,8 +19,11 @@ Butcher schemes match the reference:
 
 The reference evaluates the step bound at every substep only to *warn* about
 CFL violations (``ode_cfl_3.py:159-175``); dt always comes from the first
-evaluation.  We reproduce that dt choice (parity) and skip the host warning —
-NaN guards in the solver catch genuine blowups.
+evaluation.  We reproduce that dt choice (parity); the warning is OPT-IN via
+``check_cfl=True`` (a ``jax.debug.callback`` host print with the reference's
+``safetyFactor = min(1, 1.2 * factorCFL)`` threshold, ``ode_cfl_3.py:95``) —
+exactly the guard that catches a wrong step bound in a new fused kernel
+before it NaNs.  NaN guards in the solver catch genuine blowups either way.
 
 Vector level sets: the reference integrates *lists* of value functions
 jointly under one shared CFL dt (``ode_cfl_3.py:104-136``).  Here ``v`` may
@@ -43,16 +46,42 @@ Rhs = Callable
 
 
 def cfl_step(rhs: Rhs, t, v, t_target, factor_cfl: float, rk_order: int,
-             max_step: float = float("inf")):
+             max_step: float = float("inf"), check_cfl: bool = False):
     """One CFL-limited TVD-RK step toward ``t_target``.
 
     Returns ``(t_new, v_new)``.  ``dt`` is data-dependent but stays on device;
     callers loop with ``lax.while_loop`` until ``t_new >= t_target``.
+
+    ``check_cfl`` re-arms the reference's per-substep CFL-violation warning
+    (``ode_cfl_3.py:159-175``): each LATER substep's freshly-evaluated step
+    bound is compared against the dt chosen on the first substep and a host
+    warning fires when ``dt > min(1, 1.2 * factorCFL) * stepBound``.  Purely
+    diagnostic (a ``jax.debug.callback``; dt is never changed) and opt-in —
+    the callback costs a host round trip per violating substep.
     """
     v_dot, step_bound = rhs(t, v)
     dt = jnp.minimum(factor_cfl * step_bound, t_target - t)
     if max_step != float("inf"):
         dt = jnp.minimum(dt, max_step)
+
+    if check_cfl:
+        safety = min(1.0, 1.2 * factor_cfl)
+
+        def _warn_host(dt_, bound_, t_):
+            if float(dt_) > safety * float(jnp.min(bound_)):
+                import warnings
+
+                warnings.warn(
+                    f"CFL violation at t={float(t_):.6g}: dt={float(dt_):.4e}"
+                    f" > {safety:.3g} * stepBound="
+                    f"{float(jnp.min(bound_)):.4e} (effective CFL number "
+                    f"{float(dt_) / float(jnp.min(bound_)):.3f})")
+
+        def _check(bound, tt):
+            jax.debug.callback(_warn_host, dt, bound, tt)
+    else:
+        def _check(bound, tt):
+            pass
 
     def comb(*terms):
         # sum of (coeff, pytree) pairs, mapped over the leaves
@@ -67,14 +96,17 @@ def cfl_step(rhs: Rhs, t, v, t_target, factor_cfl: float, rk_order: int,
         v_new = comb((1.0, v), (dt, v_dot))
     elif rk_order == 2:
         y1 = comb((1.0, v), (dt, v_dot))
-        v_dot2, _ = rhs(t + dt, y1)
+        v_dot2, bound2 = rhs(t + dt, y1)
+        _check(bound2, t + dt)
         v_new = comb((0.5, v), (0.5, y1), (0.5 * dt, v_dot2))
     elif rk_order == 3:
         y1 = comb((1.0, v), (dt, v_dot))
-        v_dot2, _ = rhs(t + dt, y1)
+        v_dot2, bound2 = rhs(t + dt, y1)
+        _check(bound2, t + dt)
         y2 = comb((1.0, y1), (dt, v_dot2))
         y_half = comb((0.75, v), (0.25, y2))
-        v_dot3, _ = rhs(t + 0.5 * dt, y_half)
+        v_dot3, bound3 = rhs(t + 0.5 * dt, y_half)
+        _check(bound3, t + 0.5 * dt)
         y_three_half = comb((1.0, y_half), (dt, v_dot3))
         v_new = comb((1.0 / 3.0, v), (2.0 / 3.0, y_three_half))
     else:
@@ -98,6 +130,7 @@ def integrate(
     max_step: float = float("inf"),
     post_step: Callable | None = None,
     terminal_event: Callable | None = None,
+    check_cfl: bool = False,
 ) -> IntegrateResult:
     """Integrate ``v' = rhs(t, v)`` from ``t0`` to ``t1`` with CFL substeps —
     the jit-native equivalent of one ``odeCFLn(schemeFunc, [t0,t1], ...)``
@@ -132,7 +165,8 @@ def integrate(
 
     def body(carry):
         t, v, n = carry
-        t_new, v_new = cfl_step(rhs, t, v, t1, factor_cfl, rk_order, max_step)
+        t_new, v_new = cfl_step(rhs, t, v, t1, factor_cfl, rk_order, max_step,
+                                check_cfl=check_cfl)
         if post_step is not None:
             v_new = post_step(t_new, v_new, v)
         return t_new, v_new, n + 1

@@ -43,6 +43,7 @@ stencils, reductions, or the final :func:`lower` slice.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax
@@ -56,7 +57,46 @@ from .weno3d import (_smoothness, _weno_axis01, _weno_eval,
                      _weno_weight_tables, aligned_dims)
 
 __all__ = ["lift", "lower", "refresh_x_ghosts", "refresh_x_ghosts_sharded",
-           "fused_substep_3d", "fused_rk_step", "initial_epsilon"]
+           "fused_substep_3d", "fused_rk_step", "initial_epsilon",
+           "Epilogue"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Epilogue:
+    """Static description of the solver's per-RK-step epilogue, fused into
+    the FINAL substep of the kernelised RK step (VERDICT r3 #1).  Mirrors
+    ``solver._solve_core``'s XLA-path order exactly (ref ``hji_solver.py:
+    536-644``): comp method (or Kene shift-scale-comp), then the Jaime
+    discount blend, then obstacle masking.
+
+    Operand arrays travel as ``extras`` — a tuple of aligned-layout arrays
+    DMA'd blockwise alongside the state — indexed by the ``*_ex`` fields:
+
+      comp:      'min'/'max'/None — the comp-method combine.
+      comp_src:  'va' (RK-step start), 'vb' (substep input; rk1), or 'ex'
+                 (a fixed array: v0 for withV0, the interval target for
+                 withL) with ``comp_ex`` the extras index.
+      kene:      Kene discounting (ref ``hji_solver.py:613-638``) —
+                 REPLACES the plain comp: ``out = comb((out-mv)*gamma,
+                 tgt-mv) + mv`` with ``comb`` = ``comp``, ``tgt`` =
+                 ``extras[comp_ex]`` and ``mv``/``gamma`` SMEM scalars.
+      jaime_ex:  Jaime blend base (target if given else v0):
+                 ``out = gamma*out + (1-gamma)*extras[jaime_ex]``.
+      obs_ex:    obstacle masking ``out = max(out, extras[obs_ex])`` — the
+                 operand is the PRE-NEGATED obstacle (ref ``:640-644``).
+    """
+
+    comp: str | None = None
+    comp_src: str = "va"
+    comp_ex: int = 0
+    kene: bool = False
+    jaime_ex: int | None = None
+    obs_ex: int | None = None
+
+    @property
+    def needs_va(self) -> bool:
+        return self.comp is not None and not self.kene \
+            and self.comp_src == "va"
 
 
 # --------------------------------------------------------------- layout moves
@@ -168,7 +208,9 @@ def _weno_roll_axis(g, axis, inv_dx, epsq, want_d1=False, stride=1):
     p2l = -w[1] * (1 / 6) + w[2] * (5 / 6) + w[3] * (1 / 3)
     p3l = w[2] * (1 / 3) + w[3] * (5 / 6) - w[4] * (1 / 6)
     p1r = w[3] * (11 / 6) - w[4] * (7 / 6) + u5 * (1 / 3)
-    a1, a2, a3 = _weno_weight_tables(_smoothness(*w), epsq)
+    from .weno3d import _resolve_epsq
+
+    a1, a2, a3 = _weno_weight_tables(_smoothness(*w), _resolve_epsq(epsq, w))
     dl = _weno_eval((p1l, p2l, p3l), a1, a2, a3)
     dr = _weno_eval(
         (p1r, p3l, p2l),
@@ -230,11 +272,26 @@ def fused_substep_3d(
     *,
     ca: float,                   # static affine coefficient of va
     cb: float,                   # static affine coefficient of vb
-    comp: str | None = None,     # fuse comp-method: 'min'/'max'/None
-    comp_src: str = "va",        # comp operand: 'va' or 'vb'
+    epilogue: Epilogue | None = None,  # fused per-step epilogue (comp /
+                                       # discount / obstacle; final substep)
+    extras: tuple = (),          # aligned-layout operand arrays indexed by
+                                 # the epilogue's *_ex fields (DMA'd center
+                                 # blocks; ghost/junk columns never read)
+    gamma=0.0,                   # discount factor (traced; SMEM)
+    kene_mv=0.0,                 # Kene shift max|target| (traced; SMEM)
     restrict: str | None = None,  # clamp f sign ('min'/'max'/None)
     block_x: int = 8,
     want_eps: bool = False,
+    eps_neighbors: bool = False,  # per-window O&F (3.38) epsilon built
+                                  # in-kernel from the D1 tables (no SMEM
+                                  # eps, no reductions — see
+                                  # weno3d._resolve_epsq)
+    alpha_ops: tuple = (),       # OPTIONAL 3 precomputed dissipation-bound
+                                 # arrays in the aligned layout, DMA'd per
+                                 # block INSTEAD of evaluating alpha_fn
+                                 # in-kernel (VERDICT r3 #2: systems with
+                                 # expensive alphas — flock member maxima —
+                                 # trade 3 HBM reads for the VPU cost)
     origin=None,                 # per-axis global index offset (3 traced
                                  # int32) — the shard's block start when
                                  # the kernel runs inside shard_map (same
@@ -272,18 +329,30 @@ def fused_substep_3d(
     n_blocks = pl.cdiv(x, block_x)
     dtype = vb.dtype
     inv_dx = tuple(float(1.0 / d) for d in grid.dx)
-    need_va = (ca != 0.0) or (comp is not None and comp_src == "va")
+    epi = epilogue
+    need_va = (ca != 0.0) or (epi is not None and epi.needs_va)
+    n_ex = len(extras)
+    n_al = len(alpha_ops)
+    if n_al not in (0, 3):
+        raise ValueError("alpha_ops must be () or all 3 axes")
 
     scaled = inv_eps is not None
 
     def kernel(eps_ref, inv_ref, sc_ref, params_ref, org_ref, vb_hbm,
-               va_hbm, out_hbm, *rest):
+               va_hbm, *rest_io):
+        ex_hbm = rest_io[:n_ex]
+        al_hbm = rest_io[n_ex:n_ex + n_al]
+        out_hbm = rest_io[n_ex + n_al]
+        rest = rest_io[n_ex + n_al + 1:]
         if want_eps:
-            (epsacc, slabs, vas, stages, sems_in, sems_out) = rest
-        else:
-            (slabs, vas, stages, sems_in, sems_out) = rest
+            epsacc, rest = rest[0], rest[1:]
+        (slabs, vas, stages, sems_in, sems_out) = rest[:5]
+        exs = rest[5:5 + n_ex]               # one (2, BX, yp, zp) per extra
+        als = rest[5 + n_ex:]                # one per precomputed alpha
         tt = sc_ref[0]
         cdt = sc_ref[1]
+        gm = sc_ref[2]
+        mv = sc_ref[3]
 
         if want_eps:
             iy = jax.lax.broadcasted_iota(jnp.int32, (yp, zp), 0)
@@ -301,7 +370,14 @@ def fused_substep_3d(
                 m = jnp.maximum(epsacc[ax], m)
             epsacc[ax] = m
 
+        if eps_neighbors:
+            import math as _math
+
+            nb_floor = _math.sqrt(float(jnp.finfo(dtype).tiny))
+
         def epsq(ax):
+            if eps_neighbors:
+                return ("neighbors", nb_floor)
             return (eps_ref[ax], inv_ref[ax] if scaled else None)
 
         def start_x(bi):
@@ -316,6 +392,14 @@ def fused_substep_3d(
                 dmas.append(pltpu.make_async_copy(
                     va_hbm.at[pl.ds(sx + 3, block_x)], vas.at[slot],
                     sems_in.at[slot, 1]))
+            for i in range(n_ex):
+                dmas.append(pltpu.make_async_copy(
+                    ex_hbm[i].at[pl.ds(sx + 3, block_x)], exs[i].at[slot],
+                    sems_in.at[slot, 2 + i]))
+            for i in range(n_al):
+                dmas.append(pltpu.make_async_copy(
+                    al_hbm[i].at[pl.ds(sx + 3, block_x)], als[i].at[slot],
+                    sems_in.at[slot, 2 + n_ex + i]))
             return dmas
 
         def out_dma(slot, bi):
@@ -354,12 +438,17 @@ def fused_substep_3d(
             p = (0.5 * (dl0 + dr0), 0.5 * (dl1 + dr1), 0.5 * (dl2 + dr2))
             ham = ham_fn(tt, starts, p, params_ref)
             shape = center.shape
-            diss = (0.5 * (dr0 - dl0)
-                    * alpha_fn(tt, starts, shape, params_ref, 0)
-                    + 0.5 * (dr1 - dl1)
-                    * alpha_fn(tt, starts, shape, params_ref, 1)
-                    + 0.5 * (dr2 - dl2)
-                    * alpha_fn(tt, starts, shape, params_ref, 2))
+            if n_al:
+                diss = (0.5 * (dr0 - dl0) * als[0][slot]
+                        + 0.5 * (dr1 - dl1) * als[1][slot]
+                        + 0.5 * (dr2 - dl2) * als[2][slot])
+            else:
+                diss = (0.5 * (dr0 - dl0)
+                        * alpha_fn(tt, starts, shape, params_ref, 0)
+                        + 0.5 * (dr1 - dl1)
+                        * alpha_fn(tt, starts, shape, params_ref, 1)
+                        + 0.5 * (dr2 - dl2)
+                        * alpha_fn(tt, starts, shape, params_ref, 2))
             f = -(ham - diss)
             if restrict == "min":
                 f = jnp.minimum(f, 0.0)
@@ -369,10 +458,28 @@ def fused_substep_3d(
             out = cb * center + cdt * f
             if ca != 0.0:
                 out = out + ca * vas[slot]
-            if comp is not None:
-                src = vas[slot] if comp_src == "va" else center
-                out = (jnp.minimum(out, src) if comp == "min"
-                       else jnp.maximum(out, src))
+            if epi is not None:
+                # exact order of solver._solve_core's XLA body: comp (or
+                # Kene shift-scale-comp) -> Jaime blend -> obstacle mask
+                if epi.kene:
+                    tgt = exs[epi.comp_ex][slot]
+                    vt = (out - mv) * gm
+                    ts = tgt - mv
+                    out = (jnp.minimum(vt, ts) if epi.comp == "min"
+                           else jnp.maximum(vt, ts)) + mv
+                elif epi.comp is not None:
+                    if epi.comp_src == "va":
+                        src = vas[slot]
+                    elif epi.comp_src == "vb":
+                        src = center
+                    else:
+                        src = exs[epi.comp_ex][slot]
+                    out = (jnp.minimum(out, src) if epi.comp == "min"
+                           else jnp.maximum(out, src))
+                if epi.jaime_ex is not None:
+                    out = gm * out + (1.0 - gm) * exs[epi.jaime_ex][slot]
+                if epi.obs_ex is not None:
+                    out = jnp.maximum(out, exs[epi.obs_ex][slot])
 
             # ghost fill of the OUTPUT (y then z) from the updated interior
             out = _fill_ghost(out, 1, y, grid.periodic[1])
@@ -397,21 +504,22 @@ def fused_substep_3d(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # eps
             pl.BlockSpec(memory_space=pltpu.SMEM),   # inv_eps
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # [t, cd]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # [t, cd, gamma, mv]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params
             pl.BlockSpec(memory_space=pltpu.SMEM),   # origin
             pl.BlockSpec(memory_space=pltpu.HBM),    # vb
             pl.BlockSpec(memory_space=pltpu.HBM),    # va
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * (n_ex + n_al),
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, block_x + 6, yp, zp), dtype),   # vb slabs
             pltpu.VMEM((2, block_x, yp, zp), dtype),       # va centers
             pltpu.VMEM((2, block_x, yp, zp), dtype),       # out stages
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2 + n_ex + n_al)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + [pltpu.VMEM((2, block_x, yp, zp), dtype)       # extras + alphas
+             for _ in range(n_ex + n_al)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -419,12 +527,16 @@ def fused_substep_3d(
         jnp.broadcast_to(jnp.asarray(eps, dtype), (3,)),
         jnp.broadcast_to(jnp.asarray(
             eps if inv_eps is None else inv_eps, dtype), (3,)),
-        jnp.stack([jnp.asarray(t, dtype), jnp.asarray(cd, dtype)]),
+        jnp.stack([jnp.asarray(t, dtype), jnp.asarray(cd, dtype),
+                   jnp.broadcast_to(jnp.asarray(gamma, dtype), ()),
+                   jnp.broadcast_to(jnp.asarray(kene_mv, dtype), ())]),
         jnp.asarray(params, dtype).reshape(-1),
         (jnp.zeros((3,), jnp.int32) if origin is None
          else jnp.stack([jnp.asarray(o, jnp.int32) for o in origin])),
         vb,
         va,
+        *extras,
+        *alpha_ops,
     )
     return out
 
@@ -441,16 +553,20 @@ def initial_epsilon(grid: Grid, cfg, vq, ops=None):
 
 
 def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
-                  comp: str | None, eps, origin=None, shard=None):
+                  comp, eps, origin=None, shard=None, extras=(),
+                  gamma=0.0, kene_mv=0.0, alpha_ops=()):
     """One CFL-limited TVD-RK step on the aligned state ``vq`` with the
-    comp-method fused into the final substep; returns
+    solver's per-step epilogue fused into the final substep; returns
     ``(t_new, v_new, eps_new)``.
 
     Exactly mirrors ``integration.cfl_step`` + the solver's per-step
-    ``apply_comp`` for comp ∈ {None, 'min', 'max'} (minVOverTime /
-    maxVOverTime semantics, ref ``hji_solver.py:536-599``).  Requires
-    precomputed ``alpha_bounds`` (time-invariant alphas) — which also makes
-    the CFL ``dt`` a pure function of remaining time.
+    ``apply_comp`` + obstacle masking (ref ``hji_solver.py:536-644``).
+    ``comp`` is either the legacy 'min'/'max'/None shorthand (minVOverTime/
+    maxVOverTime against the step-start value) or a full :class:`Epilogue`
+    with operand arrays in ``extras`` (aligned layout; see the solver's
+    fused-path assembly) and the discount scalars ``gamma``/``kene_mv``.
+    Requires precomputed ``alpha_bounds`` (time-invariant alphas) — which
+    also makes the CFL ``dt`` a pure function of remaining time.
 
     ``eps`` is the per-axis WENO epsilon carried across substeps.  For
     ``maxOverGrid`` it is LAGGED: each substep consumes the epsilon
@@ -479,14 +595,21 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
         dt = jnp.minimum(dt, cfg.max_step)
 
     scaled = cfg.epsilon_method == "maxOverGrid"
+    neighbors = cfg.epsilon_method == "maxOverNeighbors"
     floor = _math.sqrt(float(jnp.finfo(dtype).tiny))
+    if isinstance(comp, str):
+        comp = Epilogue(comp=comp)           # legacy 'min'/'max' shorthand
+    epi = comp
 
-    def sub(vb, va, eps, tt, cd, ca, cb, fuse_comp, comp_src="va"):
+    def sub(vb, va, eps, tt, cd, ca, cb, fuse_epi):
         r = fused_substep_3d(
             grid, ham_fn, alpha_fn, vb, va, eps, tt,
             (1.0 / eps) if scaled else None, cd, flat_params,
-            ca=ca, cb=cb, comp=fuse_comp, comp_src=comp_src,
-            restrict=cfg.restrict_update, want_eps=scaled, origin=origin)
+            ca=ca, cb=cb, epilogue=fuse_epi,
+            extras=extras if fuse_epi is not None else (),
+            gamma=gamma, kene_mv=kene_mv,
+            restrict=cfg.restrict_update, want_eps=scaled,
+            eps_neighbors=neighbors, alpha_ops=alpha_ops, origin=origin)
         if scaled:
             o, d1max = r
             eps_next = 1e-6 * jnp.max(d1max, axis=(1, 2)) + floor
@@ -499,15 +622,18 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
         return refresh_x_ghosts(grid, o), eps_next
 
     if cfg.rk_order == 1:
-        v_new, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, comp, comp_src="vb")
+        # the substep input IS the step-start value: source the comp there
+        epi1 = (dataclasses.replace(epi, comp_src="vb")
+                if epi is not None and epi.needs_va else epi)
+        v_new, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, epi1)
     elif cfg.rk_order == 2:
         v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
-        v_new, eps = sub(v1, vq, eps, t + dt, 0.5 * dt, 0.5, 0.5, comp)
+        v_new, eps = sub(v1, vq, eps, t + dt, 0.5 * dt, 0.5, 0.5, epi)
     elif cfg.rk_order == 3:
         v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
         v2, eps = sub(v1, vq, eps, t + dt, 0.25 * dt, 0.75, 0.25, None)
         v_new, eps = sub(v2, vq, eps, t + 0.5 * dt, (2.0 / 3.0) * dt,
-                         1.0 / 3.0, 2.0 / 3.0, comp)
+                         1.0 / 3.0, 2.0 / 3.0, epi)
     else:
         raise ValueError(f"rk_order must be 1, 2 or 3; got {cfg.rk_order}")
     return t + dt, v_new, eps

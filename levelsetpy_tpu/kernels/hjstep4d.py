@@ -47,9 +47,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import dataclasses
+
 from ..boundary import pad_axis
 from ..grid import Grid
-from .hjstep import (_fill_ghost, _roll, _weno_roll_axis, refresh_x_ghosts)
+from .hjstep import (Epilogue, _fill_ghost, _roll, _weno_roll_axis,
+                     refresh_x_ghosts)
 from .weno3d import _weno_axis01, flatten_system
 
 __all__ = ["lift4", "lower4", "pack4", "fused_substep_4d",
@@ -186,11 +189,15 @@ def fused_substep_4d(
     *,
     ca: float,
     cb: float,
-    comp: str | None = None,
-    comp_src: str = "va",
+    epilogue: Epilogue | None = None,  # fused per-step epilogue (see
+                                       # hjstep.Epilogue)
+    extras: tuple = (),          # packed-layout operand arrays (lift4'd)
+    gamma=0.0,
+    kene_mv=0.0,
     restrict: str | None = None,
     block_x: int = 8,
     want_eps: bool = False,
+    eps_neighbors: bool = False,  # per-window O&F (3.38) epsilon in-kernel
     origin=None,                 # per-axis global index offset (4 traced
                                  # int32) — the shard's block start inside
                                  # shard_map
@@ -210,19 +217,31 @@ def fused_substep_4d(
     n_blocks = pl.cdiv(x, block_x)
     dtype = vb.dtype
     inv_dx = tuple(float(1.0 / d) for d in grid.dx)
-    need_va = (ca != 0.0) or (comp is not None and comp_src == "va")
+    epi = epilogue
+    need_va = (ca != 0.0) or (epi is not None and epi.needs_va)
+    n_ex = len(extras)
     scaled = inv_eps is not None
 
     def kernel(eps_ref, inv_ref, sc_ref, params_ref, org_ref, vb_hbm,
-               va_hbm, out_hbm, *rest):
+               va_hbm, *rest_io):
+        ex_hbm = rest_io[:n_ex]
+        out_hbm = rest_io[n_ex]
+        rest = rest_io[n_ex + 1:]
         if want_eps:
-            (epsacc, slabs, vas, stages, sems_in, sems_out) = rest
-        else:
-            (slabs, vas, stages, sems_in, sems_out) = rest
+            epsacc, rest = rest[0], rest[1:]
+        (slabs, vas, stages, sems_in, sems_out) = rest[:5]
+        exs = rest[5:]
         tt = sc_ref[0]
         cdt = sc_ref[1]
+        gm = sc_ref[2]
+        mv = sc_ref[3]
+
+        if eps_neighbors:
+            nb_floor = math.sqrt(float(jnp.finfo(dtype).tiny))
 
         def epsq(ax):
+            if eps_neighbors:
+                return ("neighbors", nb_floor)
             return (eps_ref[ax], inv_ref[ax] if scaled else None)
 
         if want_eps:
@@ -257,6 +276,10 @@ def fused_substep_4d(
                 dmas.append(pltpu.make_async_copy(
                     va_hbm.at[pl.ds(sx + 3, block_x)], vas.at[slot],
                     sems_in.at[slot, 1]))
+            for i in range(n_ex):
+                dmas.append(pltpu.make_async_copy(
+                    ex_hbm[i].at[pl.ds(sx + 3, block_x)], exs[i].at[slot],
+                    sems_in.at[slot, 2 + i]))
             return dmas
 
         def out_dma(slot, bi):
@@ -317,10 +340,27 @@ def fused_substep_4d(
             out = cb * center + cdt * f
             if ca != 0.0:
                 out = out + ca * vas[slot]
-            if comp is not None:
-                src = vas[slot] if comp_src == "va" else center
-                out = (jnp.minimum(out, src) if comp == "min"
-                       else jnp.maximum(out, src))
+            if epi is not None:
+                # solver XLA-body order: comp (or Kene) -> Jaime -> obstacle
+                if epi.kene:
+                    tgt = exs[epi.comp_ex][slot]
+                    vt = (out - mv) * gm
+                    ts = tgt - mv
+                    out = (jnp.minimum(vt, ts) if epi.comp == "min"
+                           else jnp.maximum(vt, ts)) + mv
+                elif epi.comp is not None:
+                    if epi.comp_src == "va":
+                        src = vas[slot]
+                    elif epi.comp_src == "vb":
+                        src = center
+                    else:
+                        src = exs[epi.comp_ex][slot]
+                    out = (jnp.minimum(out, src) if epi.comp == "min"
+                           else jnp.maximum(out, src))
+                if epi.jaime_ex is not None:
+                    out = gm * out + (1.0 - gm) * exs[epi.jaime_ex][slot]
+                if epi.obs_ex is not None:
+                    out = jnp.maximum(out, exs[epi.obs_ex][slot])
 
             # ghost fill of the OUTPUT: y (sublane), then z and w (packed)
             out = _fill_ghost(out, 1, y, grid.periodic[1])
@@ -347,21 +387,22 @@ def fused_substep_4d(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # eps
             pl.BlockSpec(memory_space=pltpu.SMEM),   # inv_eps
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # [t, cd]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # [t, cd, gamma, mv]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params
             pl.BlockSpec(memory_space=pltpu.SMEM),   # origin
             pl.BlockSpec(memory_space=pltpu.HBM),    # vb
             pl.BlockSpec(memory_space=pltpu.HBM),    # va
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * n_ex,   # extras
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, block_x + 6, yp, L), dtype),   # vb slabs
             pltpu.VMEM((2, block_x, yp, L), dtype),       # va centers
             pltpu.VMEM((2, block_x, yp, L), dtype),       # out stages
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2 + n_ex)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + [pltpu.VMEM((2, block_x, yp, L), dtype)       # extras centers
+             for _ in range(n_ex)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -369,12 +410,14 @@ def fused_substep_4d(
         jnp.broadcast_to(jnp.asarray(eps, dtype), (4,)),
         jnp.broadcast_to(jnp.asarray(
             eps if inv_eps is None else inv_eps, dtype), (4,)),
-        jnp.stack([jnp.asarray(t, dtype), jnp.asarray(cd, dtype)]),
+        jnp.stack([jnp.asarray(t, dtype), jnp.asarray(cd, dtype),
+                   jnp.asarray(gamma, dtype), jnp.asarray(kene_mv, dtype)]),
         jnp.asarray(params, dtype).reshape(-1),
         (jnp.zeros((4,), jnp.int32) if origin is None
          else jnp.stack([jnp.asarray(o, jnp.int32) for o in origin])),
         vb,
         va,
+        *extras,
     )
     return out
 
@@ -397,10 +440,12 @@ def fused4d_eligible(grid: Grid, cfg, *trees) -> bool:
     the packed slab fits VMEM."""
     from ..terms import _batched
 
+    # any dissipation kind: precomputed (costate-free) alphas make
+    # global/local/locallocal identical — see terms.pallas_eligible
     if not (cfg.use_pallas and grid.ndim == 4
             and cfg.accuracy in ("veryHigh", "weno5")
-            and cfg.dissipation == "global"
-            and cfg.epsilon_method in ("constant", "maxOverGrid")):
+            and cfg.epsilon_method in ("constant", "maxOverGrid",
+                                       "maxOverNeighbors")):
         return False
     if _batched(*trees):
         return False
@@ -424,12 +469,15 @@ def initial_epsilon_4d(grid: Grid, cfg, v, ops=None):
 
 
 def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
-                     comp: str | None, eps, origin=None, shard=None):
+                     comp, eps, origin=None, shard=None, extras=(),
+                     gamma=0.0, kene_mv=0.0):
     """One CFL-limited TVD-RK step on the packed 4-D state; returns
     ``(t_new, v_new, eps_new)`` — the 4-D analog of
-    ``hjstep.fused_rk_step`` (same lagged-epsilon carry and, under x-only
-    sharding, the same per-shard execution: ``origin`` = global block
-    starts, ``shard = (x mesh-axis name, all mesh axis names)``)."""
+    ``hjstep.fused_rk_step`` (same lagged-epsilon carry, same
+    :class:`~levelsetpy_tpu.kernels.hjstep.Epilogue` fusion with
+    ``extras`` in the packed layout, and, under x-only sharding, the same
+    per-shard execution: ``origin`` = global block starts, ``shard = (x
+    mesh-axis name, all mesh axis names)``)."""
     dtype = vq.dtype
     flat_params, ham_fn, alpha_fn = system_closures_4d(grid, system, dtype)
     dt = jnp.minimum(cfg.factor_cfl * alpha_bounds.step_bound, t_target - t)
@@ -437,14 +485,21 @@ def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
         dt = jnp.minimum(dt, cfg.max_step)
 
     scaled = cfg.epsilon_method == "maxOverGrid"
+    neighbors = cfg.epsilon_method == "maxOverNeighbors"
     floor = math.sqrt(float(jnp.finfo(dtype).tiny))
+    if isinstance(comp, str):
+        comp = Epilogue(comp=comp)
+    epi = comp
 
-    def sub(vb, va, eps, tt, cd, ca, cb, fuse_comp, comp_src="va"):
+    def sub(vb, va, eps, tt, cd, ca, cb, fuse_epi):
         r = fused_substep_4d(
             grid, ham_fn, alpha_fn, vb, va, eps, tt,
             (1.0 / eps) if scaled else None, cd, flat_params,
-            ca=ca, cb=cb, comp=fuse_comp, comp_src=comp_src,
-            restrict=cfg.restrict_update, want_eps=scaled, origin=origin)
+            ca=ca, cb=cb, epilogue=fuse_epi,
+            extras=extras if fuse_epi is not None else (),
+            gamma=gamma, kene_mv=kene_mv,
+            restrict=cfg.restrict_update, want_eps=scaled,
+            eps_neighbors=neighbors, origin=origin)
         if scaled:
             o, d1max = r
             eps_next = 1e-6 * jnp.max(d1max, axis=(1, 2)) + floor
@@ -459,15 +514,17 @@ def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
         return refresh_x_ghosts(grid, o), eps_next
 
     if cfg.rk_order == 1:
-        v_new, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, comp, comp_src="vb")
+        epi1 = (dataclasses.replace(epi, comp_src="vb")
+                if epi is not None and epi.needs_va else epi)
+        v_new, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, epi1)
     elif cfg.rk_order == 2:
         v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
-        v_new, eps = sub(v1, vq, eps, t + dt, 0.5 * dt, 0.5, 0.5, comp)
+        v_new, eps = sub(v1, vq, eps, t + dt, 0.5 * dt, 0.5, 0.5, epi)
     elif cfg.rk_order == 3:
         v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
         v2, eps = sub(v1, vq, eps, t + dt, 0.25 * dt, 0.75, 0.25, None)
         v_new, eps = sub(v2, vq, eps, t + 0.5 * dt, (2.0 / 3.0) * dt,
-                         1.0 / 3.0, 2.0 / 3.0, comp)
+                         1.0 / 3.0, 2.0 / 3.0, epi)
     else:
         raise ValueError(f"rk_order must be 1, 2 or 3; got {cfg.rk_order}")
     return t + dt, v_new, eps

@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..grid import Grid
-from .weno3d import (_smoothness, _weno_axis01, _weno_eval,
+from .weno3d import (_resolve_epsq, _smoothness, _weno_axis01, _weno_eval,
                      _weno_weight_tables)
 
 __all__ = ["fused_hj_rhs_2d", "fits_vmem_2d", "widen_alphas_2d",
@@ -52,7 +52,7 @@ def _weno_lane_axis_2d(g, inv_dx, epsq):
     p2l = -w[1] * (1 / 6) + w[2] * (5 / 6) + w[3] * (1 / 3)
     p3l = w[2] * (1 / 3) + w[3] * (5 / 6) - w[4] * (1 / 6)
     p1r = w[3] * (11 / 6) - w[4] * (7 / 6) + u5 * (1 / 3)
-    a1, a2, a3 = _weno_weight_tables(_smoothness(*w), epsq)
+    a1, a2, a3 = _weno_weight_tables(_smoothness(*w), _resolve_epsq(epsq, w))
     dl = _weno_eval((p1l, p2l, p3l), a1, a2, a3)
     dr = _weno_eval((p1r, p3l, p2l),
                     _roll(a3, -1), _roll(a2, -1), _roll(a1, -1))
@@ -93,6 +93,7 @@ def fused_hj_rhs_2d(
     t,
     params: jnp.ndarray | None = None,
     inv_eps=None,
+    eps_neighbors: bool = False,  # per-window O&F (3.38) epsilon in-kernel
     origin=None,                 # per-axis global block start (traced)
 ) -> jnp.ndarray:
     """One fused 2-D RHS evaluation: returns ``V_dot = -(H - diss)``."""
@@ -114,8 +115,14 @@ def fused_hj_rhs_2d(
     def kernel(eps_ref, inv_ref, t_ref, params_ref, org_ref, v_ref, a0_ref,
                a1_ref, out_ref):
         tt = t_ref[0]
+        if eps_neighbors:
+            import math as _math
+
+            nb_floor = _math.sqrt(float(jnp.finfo(dtype).tiny))
 
         def epsq(ax):
+            if eps_neighbors:
+                return ("neighbors", nb_floor)
             return (eps_ref[ax], inv_ref[ax] if scaled else None)
 
         g = v_ref[...]                       # (x+6, yp)

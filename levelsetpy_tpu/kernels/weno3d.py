@@ -131,13 +131,31 @@ def _win(a, axis, off, n):
     return jax.lax.slice_in_dim(a, off, off + n, axis=axis)
 
 
+def _resolve_epsq(epsq, w):
+    """Resolve the ``("neighbors", floor)`` marker into a per-window
+    epsilon table (O&F (3.38), ref ``upwind_first_weno5a.py:157-165``):
+    ``eps = 1e-6 * max_k D1_k^2 + floor`` over the SAME base-window entries
+    ``w`` the smoothness tables read, so the left node-j window and the
+    right node-j window (reversed window j+1) share one table — exactly
+    ``derivatives.weno5_from_padded``'s maxOverNeighbors sharing.  A
+    node-local epsilon needs NO reduction: sharded solves run with zero
+    per-substep collectives in this mode."""
+    if isinstance(epsq, tuple) and epsq[0] == "neighbors":
+        m = w[0] * w[0]
+        for k in range(1, 5):
+            m = jnp.maximum(m, w[k] * w[k])
+        return (1e-6 * m + epsq[1], None)
+    return epsq
+
+
 def _weno_weight_tables(ss, epsq):
     """Unnormalized x10-scaled WENO weight tables ``(c2*c3, 6*c1*c3,
     c1*c2)`` over the full base-window table — identical math and
     divide-count reasoning as ``derivatives._weno_weight_tables`` (computed
     ONCE and read by both one-sided derivatives: left at its own window as
     ``(A1, A2, 3*A3)``, right one window ahead as ``(A3, A2, 3*A1)``).
-    ``epsq = (eps, inv_eps_or_None)``."""
+    ``epsq = (eps, inv_eps_or_None)`` — ``eps`` may be a scalar or a
+    per-window table (maxOverNeighbors, via :func:`_resolve_epsq`)."""
     eps, inv_eps = epsq
     if inv_eps is not None:
         # Clamp the scaled indicators: exact maxOverGrid eps bounds
@@ -197,7 +215,7 @@ def _weno_axis01(d1, axis, n, epsq):
     p2l = -u[1] * (1 / 6) + u[2] * (5 / 6) + u[3] * (1 / 3)
     p3l = u[2] * (1 / 3) + u[3] * (5 / 6) - u[4] * (1 / 6)
     p1r = u[3] * (11 / 6) - u[4] * (7 / 6) + u[5] * (1 / 3)
-    a1, a2, a3 = _weno_weight_tables(_smoothness(*w), epsq)
+    a1, a2, a3 = _weno_weight_tables(_smoothness(*w), _resolve_epsq(epsq, w))
 
     def head(a):
         return _win(a, axis, 0, n)
@@ -233,7 +251,7 @@ def _weno_lane_axis(g2, inv_dx, epsq):
     p2l = -w[1] * (1 / 6) + w[2] * (5 / 6) + w[3] * (1 / 3)
     p3l = w[2] * (1 / 3) + w[3] * (5 / 6) - w[4] * (1 / 6)
     p1r = w[3] * (11 / 6) - w[4] * (7 / 6) + u5 * (1 / 3)
-    a1, a2, a3 = _weno_weight_tables(_smoothness(*w), epsq)
+    a1, a2, a3 = _weno_weight_tables(_smoothness(*w), _resolve_epsq(epsq, w))
     dl = _weno_eval((p1l, p2l, p3l), a1, a2, a3)
     dr = _weno_eval((p1r, p3l, p2l),
                     _roll(a3, -1), _roll(a2, -1), _roll(a1, -1))
@@ -294,6 +312,7 @@ def fused_hj_rhs_3d(
     params: jnp.ndarray | None = None,   # flat system parameters (SMEM)
     block_x: int = 8,
     inv_eps=None,                # per-axis 1/eps (3,) -> 1-divide combine
+    eps_neighbors: bool = False,  # per-window O&F (3.38) epsilon in-kernel
     origin=None,                 # per-axis global index offset (3 traced
                                  # int32) — the shard's block start when the
                                  # kernel runs on a local shard_map block
@@ -341,8 +360,14 @@ def fused_hj_rhs_3d(
                a0_hbm, a1_hbm, a2_hbm, out_hbm, slabs, a0s, a1s, a2s, stages,
                sems_in, sems_out):
         tt = t_ref[0]
+        if eps_neighbors:
+            import math as _math
+
+            nb_floor = _math.sqrt(float(jnp.finfo(dtype).tiny))
 
         def epsq(ax):
+            if eps_neighbors:
+                return ("neighbors", nb_floor)
             return (eps_ref[ax], inv_ref[ax] if scaled else None)
 
         def start_x(bi):

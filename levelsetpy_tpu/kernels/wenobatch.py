@@ -62,11 +62,15 @@ LANE_CHUNK = 128
 #: packed-row layout: rows 0-2 = per-axis eps, 3-5 = per-axis 1/eps,
 #: 6 = per-scenario time (batch elements integrate at their own CFL pace,
 #: so t is a (B,) vector), 7 = per-scenario RK substep coefficient
-#: cdt = rk_coef * dt (only the substep kernel reads it), 8.. = flattened
-#: system parameter leaves
+#: cdt = rk_coef * dt (only the substep kernel reads it), 8 = per-scenario
+#: discount factor gamma, 9 = per-scenario Kene shift max|target| (both
+#: read only by the fused epilogue), 10.. = flattened system parameter
+#: leaves
 _T_ROW = 6
 _CDT_ROW = 7
-_PARAM_ROW0 = 8
+_GAMMA_ROW = 8
+_MV_ROW = 9
+_PARAM_ROW0 = 10
 
 
 def _aligned_z(grid: Grid) -> int:
@@ -88,8 +92,10 @@ def batch_leaves_ok(system, n_batch: int) -> bool:
 
 def fits_vmem_batch(grid: Grid, n_batch: int, block_x: int, block_y: int,
                     lane_chunk: int = LANE_CHUNK, dtype_bytes: int = 4,
-                    budget_bytes: int = 12 * 1024 * 1024) -> bool:
-    """Feasibility of the double-buffered working set for given block dims."""
+                    budget_bytes: int = 12 * 1024 * 1024,
+                    n_extras: int = 0) -> bool:
+    """Feasibility of the double-buffered working set for given block dims
+    (``n_extras`` = fused-epilogue operand streams, 2 buffers each)."""
     if grid.ndim != 3 or n_batch % lane_chunk or lane_chunk % LANE_CHUNK:
         return False
     x, y, _ = grid.shape
@@ -98,10 +104,13 @@ def fits_vmem_batch(grid: Grid, n_batch: int, block_x: int, block_y: int,
     slab = (bx + 6) * (by + 6) * zs * lane_chunk * dtype_bytes
     interior = bx * by * zs * lane_chunk * dtype_bytes
     # 2 slabs + 2 out stages + ~10 live interior-sized WENO temporaries
-    return 2 * slab + 2 * interior + 10 * interior < budget_bytes
+    # + 2 double-buffered blocks per epilogue operand
+    return 2 * slab + 2 * interior + 10 * interior \
+        + 2 * n_extras * interior < budget_bytes
 
 
-def pick_blocks(grid: Grid, n_batch: int) -> tuple[int, int, int] | None:
+def pick_blocks(grid: Grid, n_batch: int,
+                n_extras: int = 0) -> tuple[int, int, int] | None:
     """Largest (block_x, block_y, lane_chunk) preference that fits VMEM.
 
     A lane chunk covering the WHOLE batch keeps every DMA run contiguous
@@ -115,7 +124,8 @@ def pick_blocks(grid: Grid, n_batch: int) -> tuple[int, int, int] | None:
         if lc % LANE_CHUNK:
             continue
         for bx, by in ((8, 8), (8, 4), (4, 4), (4, 2), (2, 2), (1, 1)):
-            if fits_vmem_batch(grid, n_batch, bx, by, lc):
+            if fits_vmem_batch(grid, n_batch, bx, by, lc,
+                               n_extras=n_extras):
                 # rank by block volume (amortizes ghosts + per-block
                 # overhead), then by lane-chunk width (DMA contiguity)
                 vol = min(bx, grid.shape[0]) * min(by, grid.shape[1]) * lc
@@ -176,7 +186,8 @@ def batch_system_closures(grid: Grid, system, dtype, n_batch: int):
     return param_rows, ham_fn, alpha_fn
 
 
-def _build_pack(eps, inv_eps, t, cdt, param_rows, B, dtype):
+def _build_pack(eps, inv_eps, t, cdt, param_rows, B, dtype,
+                gamma=1.0, kene_mv=0.0):
     """Per-scenario packed rows (layout at the top of this module); rows
     padded to a sublane multiple so column-chunk DMA slices stay
     tile-aligned."""
@@ -186,7 +197,8 @@ def _build_pack(eps, inv_eps, t, cdt, param_rows, B, dtype):
 
     pack = jnp.concatenate(
         [_rows(eps, 3), _rows(eps if inv_eps is None else inv_eps, 3),
-         _rows(t, 1), _rows(cdt, 1), param_rows.astype(dtype)], axis=0)
+         _rows(t, 1), _rows(cdt, 1), _rows(gamma, 1), _rows(kene_mv, 1),
+         param_rows.astype(dtype)], axis=0)
     rp = -(-pack.shape[0] // 8) * 8
     return jnp.pad(pack, ((0, rp - pack.shape[0]), (0, 0))), rp
 
@@ -203,6 +215,7 @@ def fused_hj_rhs_batch(
     block_x: int = 4,
     block_y: int = 4,
     lane_chunk: int = LANE_CHUNK,
+    eps_neighbors: bool = False,  # per-window O&F (3.38) epsilon in-kernel
 ) -> jnp.ndarray:
     """One fused batched RHS evaluation: ``V_dot = -(H - diss)``, (x,y,z,B).
 
@@ -270,6 +283,11 @@ def fused_hj_rhs_batch(
             pk = packs.at[slot]
 
             def epsq(ax):
+                if eps_neighbors:
+                    import math as _math
+
+                    return ("neighbors",
+                            _math.sqrt(float(jnp.finfo(dtype).tiny)))
                 e = pk[ax:ax + 1, :].reshape(1, 1, 1, -1)
                 iv = (pk[3 + ax:4 + ax, :].reshape(1, 1, 1, -1)
                       if scaled else None)
@@ -471,13 +489,17 @@ def fused_substep_batch(
     *,
     ca: float,
     cb: float,
-    comp: str | None = None,
-    comp_src: str = "va",
+    epilogue=None,               # hjstep.Epilogue: fused per-step comp /
+                                 # discount / obstacle (final substep)
+    extras: tuple = (),          # aligned (x+6, y+6, zs, B) operand arrays
+    gamma=1.0,                   # per-scenario discount factor ((B,)/scalar)
+    kene_mv=0.0,                 # per-scenario Kene shift ((B,)/scalar)
     restrict: str | None = None,
     block_x: int = 4,
     block_y: int = 4,
     lane_chunk: int = LANE_CHUNK,
     want_eps: bool = False,
+    eps_neighbors: bool = False,  # per-window O&F (3.38) epsilon in-kernel
 ):
     """One fused batched RK substep in the persistent aligned layout; the
     output's z ghosts are filled in-kernel — call
@@ -505,19 +527,25 @@ def fused_substep_batch(
     dtype = vb.dtype
     inv_dx = tuple(float(1.0 / d) for d in grid.dx)
     scaled = inv_eps is not None
-    need_va = (ca != 0.0) or (comp is not None and comp_src == "va")
+    epi = epilogue
+    need_va = (ca != 0.0) or (epi is not None and epi.needs_va)
+    n_ex = len(extras)
 
-    pack, rp = _build_pack(eps, inv_eps, t, cd, param_rows, B, dtype)
+    pack, rp = _build_pack(eps, inv_eps, t, cd, param_rows, B, dtype,
+                           gamma=gamma, kene_mv=kene_mv)
 
     n_bx = pl.cdiv(x, bx)
     n_by = pl.cdiv(y, by)
     n_blocks = (B // lc) * n_bx * n_by
 
-    def kernel(vb_hbm, va_hbm, pack_hbm, out_hbm, *rest):
+    def kernel(vb_hbm, va_hbm, pack_hbm, *rest_io):
+        ex_hbm = rest_io[:n_ex]
+        out_hbm = rest_io[n_ex]
+        rest = rest_io[n_ex + 1:]
         if want_eps:
-            (epsacc, slabs, vas, packs, stages, sems_in, sems_out) = rest
-        else:
-            (slabs, vas, packs, stages, sems_in, sems_out) = rest
+            epsacc, rest = rest[0], rest[1:]
+        (slabs, vas, packs, stages, sems_in, sems_out) = rest[:6]
+        exs = rest[6:]                # one (2, bx, by, zs, lc) per extra
 
         def decode(k):
             c = k // (n_bx * n_by)
@@ -544,6 +572,11 @@ def fused_substep_batch(
                     va_hbm.at[pl.ds(sx + 3, bx), pl.ds(sy + 3, by), :,
                               pl.ds(co, lc)],
                     vas.at[slot], sems_in.at[slot, 2]))
+            for i in range(n_ex):
+                dmas.append(pltpu.make_async_copy(
+                    ex_hbm[i].at[pl.ds(sx + 3, bx), pl.ds(sy + 3, by), :,
+                                 pl.ds(co, lc)],
+                    exs[i].at[slot], sems_in.at[slot, 3 + i]))
             return dmas
 
         def out_dma(slot, k):
@@ -576,6 +609,11 @@ def fused_substep_batch(
             pk = packs.at[slot]
 
             def epsq(ax):
+                if eps_neighbors:
+                    import math as _math
+
+                    return ("neighbors",
+                            _math.sqrt(float(jnp.finfo(dtype).tiny)))
                 e = pk[ax:ax + 1, :].reshape(1, 1, 1, -1)
                 iv = (pk[3 + ax:4 + ax, :].reshape(1, 1, 1, -1)
                       if scaled else None)
@@ -618,10 +656,36 @@ def fused_substep_batch(
             out = cb * g2 + cdt4 * f
             if ca != 0.0:
                 out = out + ca * vas[slot]
-            if comp is not None:
-                src = vas[slot] if comp_src == "va" else g2
-                out = (jnp.minimum(out, src) if comp == "min"
-                       else jnp.maximum(out, src))
+            if epi is not None:
+                # solver XLA-body order: comp (or Kene) -> Jaime -> obstacle
+                # gamma/mv ride the packed rows (per-scenario lanes).
+                # Elements that finished the interval step with cdt == 0
+                # (out == va bitwise) and must SKIP the epilogue: the XLA
+                # batch body freezes inactive elements at v_last because
+                # discounting is not idempotent (solver.py batch freeze).
+                pre_epi = out
+                gm4 = pk[_GAMMA_ROW:_GAMMA_ROW + 1, :].reshape(1, 1, 1, -1)
+                mv4 = pk[_MV_ROW:_MV_ROW + 1, :].reshape(1, 1, 1, -1)
+                if epi.kene:
+                    tgt = exs[epi.comp_ex][slot]
+                    vt = (out - mv4) * gm4
+                    ts = tgt - mv4
+                    out = (jnp.minimum(vt, ts) if epi.comp == "min"
+                           else jnp.maximum(vt, ts)) + mv4
+                elif epi.comp is not None:
+                    if epi.comp_src == "va":
+                        src = vas[slot]
+                    elif epi.comp_src == "vb":
+                        src = g2
+                    else:
+                        src = exs[epi.comp_ex][slot]
+                    out = (jnp.minimum(out, src) if epi.comp == "min"
+                           else jnp.maximum(out, src))
+                if epi.jaime_ex is not None:
+                    out = gm4 * out + (1.0 - gm4) * exs[epi.jaime_ex][slot]
+                if epi.obs_ex is not None:
+                    out = jnp.maximum(out, exs[epi.obs_ex][slot])
+                out = jnp.where(cdt4 != 0.0, out, pre_epi)
 
             # z ghost fill from the freshly updated interior (full z per
             # block); x/y shells are the caller's O(surface) refresh
@@ -669,7 +733,7 @@ def fused_substep_batch(
             pl.BlockSpec(memory_space=pltpu.HBM),    # vb
             pl.BlockSpec(memory_space=pltpu.HBM),    # va
             pl.BlockSpec(memory_space=pltpu.HBM),    # packed rows
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * n_ex,   # extras
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -677,13 +741,14 @@ def fused_substep_batch(
             pltpu.VMEM((2, bx, by, zs, lc), dtype),          # va centers
             pltpu.VMEM((2, rp, lc), dtype),                  # packs
             pltpu.VMEM((2, bx, by, zs, lc), dtype),          # out stages
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3 + n_ex)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + [pltpu.VMEM((2, bx, by, zs, lc), dtype)          # extras
+             for _ in range(n_ex)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(vb, va, pack)
+    )(vb, va, pack, *extras)
 
 
 def initial_epsilon_batch(grid: Grid, cfg, vq):
@@ -696,7 +761,8 @@ def initial_epsilon_batch(grid: Grid, cfg, vq):
 
 
 def fused_rk_step_batch(grid: Grid, cfg, system, t, vq, t_target,
-                        alpha_bounds, comp: str | None, n_batch: int, eps):
+                        alpha_bounds, comp, n_batch: int, eps,
+                        extras=(), gamma=1.0, kene_mv=0.0):
     """One CFL-limited TVD-RK step on the aligned batch state ``vq`` with
     per-scenario dt and the comp-method fused into the final substep —
     the batch-last analog of ``hjstep.fused_rk_step``; returns
@@ -717,16 +783,24 @@ def fused_rk_step_batch(grid: Grid, cfg, system, t, vq, t_target,
         dt = jnp.minimum(dt, cfg.max_step)
     dt = jnp.broadcast_to(dt, (n_batch,))
     scaled = cfg.epsilon_method == "maxOverGrid"
+    neighbors = cfg.epsilon_method == "maxOverNeighbors"
     floor = _math.sqrt(float(jnp.finfo(dtype).tiny))
-    bx, by, lc = pick_blocks(grid, n_batch)
+    bx, by, lc = pick_blocks(grid, n_batch, n_extras=len(extras))
+    if isinstance(comp, str):
+        from .hjstep import Epilogue
 
-    def sub(vb, va, eps, tt, cd, ca, cb, fuse_comp, comp_src="va"):
+        comp = Epilogue(comp=comp)
+    epi = comp
+
+    def sub(vb, va, eps, tt, cd, ca, cb, fuse_epi):
         r = fused_substep_batch(
             grid, ham_fn, alpha_fn, vb, va, eps, tt,
             (1.0 / eps) if scaled else None, cd, param_rows,
-            ca=ca, cb=cb, comp=fuse_comp, comp_src=comp_src,
+            ca=ca, cb=cb, epilogue=fuse_epi,
+            extras=extras if fuse_epi is not None else (),
+            gamma=gamma, kene_mv=kene_mv,
             restrict=cfg.restrict_update, block_x=bx, block_y=by,
-            lane_chunk=lc, want_eps=scaled)
+            lane_chunk=lc, want_eps=scaled, eps_neighbors=neighbors)
         if scaled:
             o, d1max = r
             eps_next = 1e-6 * d1max[:3] + floor
@@ -735,16 +809,19 @@ def fused_rk_step_batch(grid: Grid, cfg, system, t, vq, t_target,
         return refresh_xy_ghosts_batch(grid, o), eps_next
 
     if cfg.rk_order == 1:
-        v_new, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, comp,
-                         comp_src="vb")
+        import dataclasses as _dc
+
+        epi1 = (_dc.replace(epi, comp_src="vb")
+                if epi is not None and epi.needs_va else epi)
+        v_new, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, epi1)
     elif cfg.rk_order == 2:
         v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
-        v_new, eps = sub(v1, vq, eps, t + dt, 0.5 * dt, 0.5, 0.5, comp)
+        v_new, eps = sub(v1, vq, eps, t + dt, 0.5 * dt, 0.5, 0.5, epi)
     elif cfg.rk_order == 3:
         v1, eps = sub(vq, vq, eps, t, dt, 0.0, 1.0, None)
         v2, eps = sub(v1, vq, eps, t + dt, 0.25 * dt, 0.75, 0.25, None)
         v_new, eps = sub(v2, vq, eps, t + 0.5 * dt, (2.0 / 3.0) * dt,
-                         1.0 / 3.0, 2.0 / 3.0, comp)
+                         1.0 / 3.0, 2.0 / 3.0, epi)
     else:
         raise ValueError(f"rk_order must be 1, 2 or 3; got {cfg.rk_order}")
     return t + dt, v_new, eps

@@ -63,8 +63,7 @@ def solve_vector_sharded(
         grid, systems, v0s, comp_methods, obstacles, targets)
     tau = jnp.asarray(tau, dtype=v0s[0].dtype)
     use_precomputed = tuple(
-        s.alpha_time_invariant and cfg.dissipation == "global"
-        for s in systems)
+        s.alpha_time_invariant for s in systems)
 
     run = _sharded_vector_run(
         grid, cfg, comp_methods, len(v0s),

@@ -114,6 +114,9 @@ def _solve_core(
     eval_fn: Callable | None = None,   # point query V(state) for stopInit
     nan_guard: bool = True,
     n_batch: int | None = None,        # batch-LAST mode: v0 is (*grid, B)
+    on_checkpoint: Callable | None = None,  # host snapshot hook, called
+                                            # once per tau checkpoint with
+                                            # (t, values)
 ):
     """The solver loop, written once for every execution mode.
 
@@ -139,20 +142,33 @@ def _solve_core(
         def eval_fn(v, state):
             return eval_u(grid, v, state)
 
+    # Alpha handling: STATIC precompute for time-invariant alphas, or a
+    # PER-INTERVAL lagged refresh for systems whose alpha varies with time
+    # but ignores the costate box (``System.alpha_costate_free``, VERDICT
+    # r3 #4): dissipation bounds + the CFL dt are recomputed once at each
+    # tau interval's START time — exactly the ``initial_epsilon`` pattern —
+    # so time-varying systems reach the fused kernels.  Lag semantics: the
+    # step bound (and the XLA path's dissipation alphas) are frozen at the
+    # interval start; the kernels evaluate alphas at the CURRENT substep
+    # time in any case.  Keep tau intervals short relative to the alpha's
+    # time variation (the reference recomputes per substep,
+    # artificial_diss_glf.py:80-91).
+    lagged_alpha = ((not use_precomputed)
+                    and getattr(system, "alpha_costate_free", False))
     alpha_bounds = (
         precompute_alpha(grid, system, xs, tau[0], reduce_max=ops.reduce_max)
         if use_precomputed else None
     )
+    have_alpha = use_precomputed or lagged_alpha
     # Fused full-RK-substep kernel (kernels/hjstep.py): value function stays
-    # in the aligned ghost-padded layout across the entire interval, comp
-    # masking fused into the final substep.  Only for configurations whose
-    # per-step work the kernel covers exactly; everything else falls back to
-    # the (also Pallas-accelerated) hj_rhs path below.
+    # in the aligned ghost-padded layout across the entire interval, with
+    # the solver's ENTIRE per-step epilogue — comp method (incl. withV0/
+    # withL), Jaime/Kene discounting, obstacle masking — fused into the
+    # final substep (VERDICT r3 #1).  Fixed operand arrays (v0, the
+    # interval's target, the negated obstacle) ride as extra DMA streams;
+    # only the noise term still forces the hj_rhs path below.
     fused_ok = (
-        allow_fused and alpha_bounds is not None and grid.ndim in (3, 4)
-        and comp_method in ("none", "set", "zero",
-                            "minVOverTime", "maxVOverTime")
-        and obstacles is None and targets is None and not has_discount
+        allow_fused and have_alpha and grid.ndim in (3, 4)
         and noise_sigma is None
     )
     if grid.ndim == 4:
@@ -163,19 +179,61 @@ def _solve_core(
     else:
         step_eligible = pallas_eligible(pgrid, cfg, v0, system)
     use_fused_step = fused_ok and n_batch is None and step_eligible
+
+    # static epilogue spec + the tags of its operand arrays (assembled per
+    # interval inside ``do``; deduped — e.g. minVWithL + Jaime share the
+    # target operand)
+    from .kernels.hjstep import Epilogue
+
+    comp_flag = {"minVOverTime": "min", "maxVOverTime": "max"}.get(
+        comp_method)
+    fused_epi = None
+    slots: list = []
+
+    def _slot(tag):
+        if tag not in slots:
+            slots.append(tag)
+        return slots.index(tag)
+
+    kw = {}
+    if has_discount and discount_mode == "Kene":
+        # Kene replaces the comp entirely (solver apply_comp early
+        # return; ref hji_solver.py:613-638) — comp_method is
+        # validated to min/maxVWithL upstream
+        kw.update(comp="max" if comp_method == "maxVWithL" else "min",
+                  comp_src="ex", comp_ex=_slot("tgt"), kene=True)
+    else:
+        if comp_method in ("minVOverTime", "maxVOverTime"):
+            kw.update(comp=comp_flag, comp_src="va")
+        elif comp_method in ("minVWithV0", "maxVWithV0"):
+            kw.update(comp="min" if comp_method == "minVWithV0"
+                      else "max", comp_src="ex", comp_ex=_slot("v0"))
+        elif comp_method in ("minVWithL", "maxVWithL"):
+            kw.update(comp="min" if comp_method == "minVWithL"
+                      else "max", comp_src="ex", comp_ex=_slot("tgt"))
+        if has_discount:     # Jaime blend (ref :601-609)
+            kw.update(jaime_ex=_slot(
+                "tgt" if targets is not None else "v0"))
+    if obstacles is not None:
+        kw.update(obs_ex=_slot("nobs"))
+    if kw:
+        fused_epi = Epilogue(**kw)
+    epi_slots = tuple(slots)
+
     # batch-LAST persistent-layout substep kernel (kernels/wenobatch.py):
-    # same conditions, per-scenario dt/time in the packed rows
+    # the same fused epilogue, with gamma / Kene-shift riding the packed
+    # per-scenario rows and operands DMA'd as (x+6, y+6, zs, B) streams
     from .terms import batch_pallas_eligible
 
     use_fused_batch = (
-        fused_ok and n_batch is not None
-        and batch_pallas_eligible(grid, cfg, n_batch, system, v0))
-    comp_flag = {"minVOverTime": "min", "maxVOverTime": "max"}.get(
-        comp_method)
+        fused_ok and n_batch is not None and grid.ndim == 3
+        and batch_pallas_eligible(grid, cfg, n_batch, system, v0,
+                                  n_extras=len(epi_slots)))
 
-    if (alpha_bounds is not None and n_batch is None
-            and pallas_eligible(pgrid, cfg, v0, system)
-            and not use_fused_step):
+    needs_widened = (n_batch is None
+                     and pallas_eligible(pgrid, cfg, v0, system)
+                     and not use_fused_step)
+    if alpha_bounds is not None and needs_widened:
         # widen once per solve, not once per RK substep (ndim full-grid pads)
         from .terms import widen_alphas_any
 
@@ -183,20 +241,28 @@ def _solve_core(
             alpha_bounds,
             widened=widen_alphas_any(pgrid, alpha_bounds.alphas, v0.dtype))
 
-    def rhs(t, v):
-        return hj_rhs(grid, cfg, system, t, v, xs, alpha_bounds, ops,
-                      pallas_grid=pallas_grid, pallas_origin=pallas_origin,
-                      n_batch=n_batch)
-
+    noise_term = None
     if noise_sigma is not None:
         # Gaussian process noise adds an Ito trace-Hessian diffusion term to
         # the deterministic LF scheme (ref hji_solver.py:450-471: schemeFunc
         # = termSum{termLaxFriedrichs, termTraceHessian}).  Deliberate
         # deviation: the term carries the Ito-correct 1/2 factor the
         # reference omits — see make_trace_hessian_term.
-        from .extra_terms import make_trace_hessian_term, sum_terms
+        from .extra_terms import make_trace_hessian_term
 
-        rhs = sum_terms(rhs, make_trace_hessian_term(grid, noise_sigma, ops))
+        noise_term = make_trace_hessian_term(grid, noise_sigma, ops)
+
+    def make_rhs(ab):
+        def rhs(t, v):
+            return hj_rhs(grid, cfg, system, t, v, xs, ab, ops,
+                          pallas_grid=pallas_grid,
+                          pallas_origin=pallas_origin, n_batch=n_batch)
+
+        if noise_term is not None:
+            from .extra_terms import sum_terms
+
+            rhs = sum_terms(rhs, noise_term)
+        return rhs
 
     def apply_comp(v, v_last, v0c, target_i):
         if has_discount and discount_mode == "Kene":
@@ -249,6 +315,23 @@ def _solve_core(
         else:
             tgt_i = jnp.zeros((), v0.dtype)  # unused placeholder
 
+        if use_precomputed:
+            ab_i = alpha_bounds
+        elif lagged_alpha:
+            # lagged refresh at the interval's start time (see the alpha
+            # handling note above)
+            ab_i = precompute_alpha(grid, system, xs, tau[i],
+                                    reduce_max=ops.reduce_max)
+            if needs_widened:
+                from .terms import widen_alphas_any
+
+                ab_i = dataclasses.replace(
+                    ab_i, widened=widen_alphas_any(pgrid, ab_i.alphas,
+                                                   v0.dtype))
+        else:
+            ab_i = None
+        rhs_i = make_rhs(ab_i)
+
         def do(v, ttr):
             def cond(c):
                 t = c[0]
@@ -260,33 +343,63 @@ def _solve_core(
 
                     lift = fmod.lift_batch
                     lower = fmod.lower_batch
-
-                    rk_step = lambda t, vq, eps: fmod.fused_rk_step_batch(  # noqa: E731
-                        grid, cfg, system, t, vq, t1, alpha_bounds,
-                        comp_flag, n_batch, eps)
                 elif grid.ndim == 4:
                     from .kernels import hjstep4d
 
                     lift = hjstep4d.lift4
                     lower = hjstep4d.lower4
-                    rk_step = lambda t, vq, eps: hjstep4d.fused_rk_step_4d(  # noqa: E731
-                        pgrid, cfg, system, t, vq, t1, alpha_bounds,
-                        comp_flag, eps, origin=pallas_origin,
-                        shard=fused_shard)
                 else:
                     from .kernels import hjstep
 
                     lift = hjstep.lift
                     lower = hjstep.lower
-                    # pgrid == grid single-device; the LOCAL block grid
-                    # (with pallas_origin coordinate offsets and ppermute
-                    # ghost-row refresh) under x-only sharding
-                    rk_step = lambda t, vq, eps: hjstep.fused_rk_step(  # noqa: E731
-                        pgrid, cfg, system, t, vq, t1, alpha_bounds,
-                        comp_flag, eps, origin=pallas_origin,
-                        shard=fused_shard)
 
                 fgrid = pgrid
+
+                # per-interval epilogue operands, lifted once into the
+                # kernel layout (constant across the interval's RK steps;
+                # per-interval slices for time-varying stacks).  In batch
+                # mode shared operands broadcast across the scenario lanes
+                # before lifting.
+                def _operand(tag):
+                    a = {"v0": lambda: v0,
+                         "tgt": lambda: tgt_i,
+                         "nobs": lambda: -obs_i}[tag]()
+                    if n_batch is not None:
+                        a = jnp.broadcast_to(a, (*grid.shape, n_batch))
+                    return a
+
+                epi_extras = tuple(lift(fgrid, _operand(tag))
+                                   for tag in epi_slots)
+                kene_mv = (ops.reduce_max(jnp.abs(tgt_i))
+                           if fused_epi is not None and fused_epi.kene
+                           else 0.0)
+
+                if use_fused_batch:
+                    rk_step = lambda t, vq, eps: fmod.fused_rk_step_batch(  # noqa: E731
+                        grid, cfg, system, t, vq, t1, ab_i,
+                        fused_epi, n_batch, eps, extras=epi_extras,
+                        gamma=gamma, kene_mv=kene_mv)
+                else:
+                    step_fn = (hjstep4d.fused_rk_step_4d if grid.ndim == 4
+                               else hjstep.fused_rk_step)
+                    step_kw = {}
+                    if (grid.ndim == 3
+                            and getattr(system, "alpha_via_operands",
+                                        False)):
+                        # systems with expensive alphas (flock member
+                        # maxima) trade 3 DMA streams for the in-kernel
+                        # re-evaluation (VERDICT r3 #2)
+                        step_kw["alpha_ops"] = tuple(
+                            lift(fgrid, jnp.broadcast_to(
+                                a, fgrid.shape).astype(v0.dtype))
+                            for a in ab_i.alphas)
+
+                    rk_step = lambda t, vq, eps: step_fn(  # noqa: E731
+                        pgrid, cfg, system, t, vq, t1, ab_i,
+                        fused_epi, eps, origin=pallas_origin,
+                        shard=fused_shard, extras=epi_extras,
+                        gamma=gamma, kene_mv=kene_mv, **step_kw)
 
                 def body(c):
                     t, vq, n, ttr, eps = c
@@ -329,8 +442,9 @@ def _solve_core(
             def body(c):
                 t, v, n, ttr = c
                 v_last = v
-                t_new, v = cfl_step(rhs, t, v, t1, cfg.factor_cfl,
-                                    cfg.rk_order, cfg.max_step)
+                t_new, v = cfl_step(rhs_i, t, v, t1, cfg.factor_cfl,
+                                    cfg.rk_order, cfg.max_step,
+                                    check_cfl=cfg.check_cfl)
                 v = apply_comp(v, v_last, v0, tgt_i)
                 if obs_i is not None:
                     v = jnp.maximum(v, -obs_i)
@@ -409,6 +523,14 @@ def _solve_core(
                     f"max|dV|={float(jnp.max(ch)):.3e}"),
                 t1, change, n_steps, ordered=True)
 
+        if on_checkpoint is not None:
+            # in-solve snapshot hook (the reference redrew the surface per
+            # step, hji_solver.py:731-836; here the TPU-sane equivalent is
+            # one host callback per tau checkpoint with the full slice —
+            # for live monitoring of long solves; costs a device->host
+            # fetch per interval, so it is opt-in)
+            jax.debug.callback(on_checkpoint, t1, v_new, ordered=True)
+
         out = v_new if save_all else None
         return (v_new, new_done, steps + n_steps, ttr_new), \
             (out, change, done, bad)
@@ -440,7 +562,7 @@ def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
                 discount_mode, has_discount, converge_threshold,
                 ignore_boundary, save_all, use_precomputed, record_ttr,
                 progress=False, allow_fused=True, stop_set_mode=None,
-                has_noise=False, nan_guard=True):
+                has_noise=False, nan_guard=True, on_checkpoint=None):
     """Jitted solver entry, memoized on every static knob so repeated
     ``solve`` calls (replanning loops, parameter sweeps) reuse the trace and
     executable.  Everything concrete is a jit ARGUMENT, not a closure:
@@ -477,6 +599,7 @@ def _cached_run(grid, cfg, comp_method, obstacles_tv, targets_tv,
             trim=trim, save_all=save_all, use_precomputed=use_precomputed,
             record_ttr=record_ttr, progress=progress,
             allow_fused=allow_fused, nan_guard=nan_guard,
+            on_checkpoint=on_checkpoint,
         )
 
     return run
@@ -546,9 +669,10 @@ def _prep_operands(grid, system, v0, tau, cfg, comp_method, obstacles,
     if targets is not None:
         targets = targets.astype(v0.dtype)
 
-    use_precomputed = (
-        system.alpha_time_invariant and cfg.dissipation == "global"
-    )
+    # alpha_time_invariant means alpha ignores t AND the costate box,
+    # so global/local/locallocal dissipation coincide - precompute for
+    # all three (VERDICT r3 #3; LLF then needs no per-substep reductions)
+    use_precomputed = system.alpha_time_invariant
     gamma = (jnp.asarray(discount_factor, v0.dtype)
              if discount_factor is not None else jnp.asarray(1.0, v0.dtype))
     stop_state = (jnp.asarray(stop_init, v0.dtype)
@@ -613,6 +737,7 @@ def solve(
     record_ttr: bool = False,
     progress: bool = False,
     nan_guard: bool = True,
+    on_checkpoint=None,
 ) -> SolveResult:
     """Solve the HJI PDE over checkpoint times ``tau`` on a single device.
 
@@ -623,6 +748,14 @@ def solve(
     reference's ``termRestrictUpdate`` wrapper (``hji_solver.py:438-442``).
     ``nan_guard`` freezes the state and records ``nan_index`` if an interval
     produces non-finite values (the reference raised, hji_solver.py:544).
+    ``on_checkpoint(t, values)`` is an opt-in host snapshot hook fired once
+    per tau checkpoint (the TPU-sane analog of the reference's per-step
+    redraw, ``hji_solver.py:731-836``) — for live monitoring of long
+    solves; it costs one device->host fetch per interval and is part of
+    the jit cache key, so reuse ONE function object across calls.  Host
+    callbacks require a locally-attached backend (CPU/GPU/local TPU) —
+    remote-execution links (this repo's axon tunnel) do not transport
+    them (the same applies to ``progress=True``).
     """
     op = _prep_operands(grid, system, v0, tau, cfg, comp_method, obstacles,
                         targets, discount_factor, discount_mode, stop_init,
@@ -650,6 +783,7 @@ def solve(
         ignore_boundary, save_all, op.use_precomputed, record_ttr, progress,
         stop_set_mode=op.stop_set_mode,
         has_noise=op.noise_sigma is not None, nan_guard=nan_guard,
+        on_checkpoint=on_checkpoint,
     )
     values, changes, stop_index, steps, ttr, nan_index = run(
         system, op.v0, op.tau, xs, op.obstacles, op.targets, op.gamma,
@@ -855,13 +989,69 @@ def solve_batch(
              if discount_factor is not None else jnp.asarray(1.0, v0.dtype))
     stop_state = (jnp.asarray(stop_init, v0.dtype)
                   if stop_init is not None else None)
-    use_precomputed = (
-        system.alpha_time_invariant and cfg.dissipation == "global"
-    )
+    # alpha_time_invariant means alpha ignores t AND the costate box,
+    # so global/local/locallocal dissipation coincide - precompute for
+    # all three (VERDICT r3 #3; LLF then needs no per-substep reductions)
+    use_precomputed = system.alpha_time_invariant
     # use_pallas routes the RHS through the fused batch-LAST kernel
-    # (kernels/wenobatch.py) when eligible — 3-D WENO5, B a multiple of
-    # 128 lanes, scalar/(B,) system leaves; anything else silently runs
-    # the (batch-native) XLA path via terms.batch_pallas_eligible.
+    # (kernels/wenobatch.py) when eligible — 3-D WENO5, scalar/(B,) system
+    # leaves; anything else silently runs the (batch-native) XLA path via
+    # terms.batch_pallas_eligible.  The kernel needs B ≡ 0 (mod 128 lanes);
+    # an arbitrary B is padded HERE by replicating the last scenario up to
+    # the lane-chunk multiple and slicing the results back (VERDICT r3 #5)
+    # — clones integrate identically to their source under the per-element
+    # CFL/stop machinery, so semantics per real element are exact and the
+    # kernels never see a partial chunk.
+    n_true = n_batch
+    from .terms import batch_pallas_eligible
+
+    pad_n = (-n_batch) % 128
+    if cfg.use_pallas and pad_n and grid.ndim == 3:
+        def _pad_leaf(leaf):
+            if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == n_true:
+                return jnp.concatenate(
+                    [leaf, jnp.broadcast_to(leaf[-1:],
+                                            (pad_n, *leaf.shape[1:]))])
+            return leaf
+
+        def _pad_last(arr):
+            # trailing-batch operand: replicate the final scenario lane
+            if arr is not None and arr.shape[-1] == n_true:
+                return jnp.concatenate(
+                    [arr, jnp.broadcast_to(
+                        arr[..., -1:], (*arr.shape[:-1], pad_n))], axis=-1)
+            return arr
+
+        # count the fused-epilogue operand streams the solve will carry so
+        # the eligibility check sizes the VMEM working set correctly
+        tags = set()
+        if discount_factor is not None and discount_mode == "Kene":
+            tags.add("tgt")
+        else:
+            if comp_method in ("minVWithV0", "maxVWithV0"):
+                tags.add("v0")
+            elif comp_method in ("minVWithL", "maxVWithL"):
+                tags.add("tgt")
+            if discount_factor is not None:
+                tags.add("tgt" if targets is not None else "v0")
+        if obstacles is not None:
+            tags.add("nobs")
+
+        system_p = jax.tree.map(_pad_leaf, system)
+        if batch_pallas_eligible(grid, cfg, n_batch + pad_n, system_p, v0,
+                                 n_extras=len(tags)):
+            system = system_p
+            n_batch = n_batch + pad_n
+            v0 = _pad_last(v0)
+            obstacles = _pad_last(obstacles)
+            targets = _pad_last(targets)
+            stop_set = _pad_last(stop_set)
+            if gamma.ndim >= 1:
+                gamma = _pad_leaf(gamma)
+        else:
+            pad_n = 0
+    else:
+        pad_n = 0
 
     # grid coordinates gain a trailing singleton so they broadcast across
     # the scenario lane axis: (nx,1,..,1) -> (nx,1,..,1,1)
@@ -878,6 +1068,14 @@ def solve_batch(
         system, v0, tau, xs, obstacles, targets, gamma,
         stop_state, stop_set, jnp.asarray(stop_level, v0.dtype),
         noise_sigma)
+    if pad_n:
+        # drop the replicated padding lanes from every per-scenario output
+        values = values[..., :n_true]
+        changes = changes[..., :n_true]
+        stop_index = stop_index[..., :n_true]
+        nan_index = nan_index[..., :n_true]
+        if ttr is not None:
+            ttr = ttr[..., :n_true]
     return SolveResult(values=values, tau=tau, changes=changes,
                        stop_index=stop_index, steps=steps, ttr=ttr,
                        nan_index=nan_index)

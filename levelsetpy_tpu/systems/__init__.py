@@ -2,6 +2,7 @@ from .base import System, register_system, static_field
 from .double_integrator import DoubleIntegrator, PlanarDoubleIntegrator
 from .dubins import DubinsAbs, DubinsRel
 from .flock import Flock
+from .holonomic import Holonomic
 from .rocket import RocketSystem
 
 __all__ = [
@@ -13,5 +14,6 @@ __all__ = [
     "DubinsAbs",
     "DubinsRel",
     "Flock",
+    "Holonomic",
     "RocketSystem",
 ]

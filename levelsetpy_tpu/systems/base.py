@@ -78,6 +78,17 @@ class System:
     #: True when ``alpha`` depends only on grid coordinates — enables
     #: precomputing dissipation bounds + CFL dt once per solve.
     alpha_time_invariant: bool = False
+    #: True when ``alpha`` ignores the costate box (``p_min``/``p_max``)
+    #: but MAY depend on time — enables the solver's per-tau-interval
+    #: LAGGED alpha refresh (bounds + CFL dt frozen at each interval's
+    #: start time), which routes time-varying systems through the fused
+    #: kernels.  Implied by ``alpha_time_invariant``.
+    alpha_costate_free: bool = False
+    #: True when in-kernel alpha evaluation is EXPENSIVE (e.g. per-member
+    #: maxima over a flock): the fused 3-D substep kernel then DMAs the
+    #: precomputed per-axis bounds as operands instead of re-evaluating
+    #: them every substep (3 extra HBM block reads vs the VPU cost).
+    alpha_via_operands: bool = False
     #: MIE (mixed implicit-explicit) formulation (ref ``generic_ham.py:
     #: 23-43,57-59``): 'lower'/'upper' adds the time-invariant dimension's
     #: dynamics (:meth:`ti_dynamics`) with sign -1/+1 and negates the upper

@@ -92,6 +92,9 @@ class Flock(System):
 
     n_states = 3
     alpha_time_invariant = True
+    #: member-maxima alphas are expensive to re-derive per substep — the
+    #: fused kernel DMAs them precomputed (VERDICT r3 #2)
+    alpha_via_operands = True
 
     def __post_init__(self):
         n = self.n_agents

@@ -280,8 +280,7 @@ def solve_vector(
     tau = jnp.asarray(tau, dtype=v0s[0].dtype)
     xs = grid.mesh_broadcastable(v0s[0].dtype)
     use_precomputed = tuple(
-        s.alpha_time_invariant and cfg.dissipation == "global"
-        for s in systems)
+        s.alpha_time_invariant for s in systems)
 
     from .terms import _batched
 

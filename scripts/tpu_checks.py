@@ -146,11 +146,109 @@ def sharded_fused_step(n=71, t_end=0.25):
           err < 1e-5 * scale, f"max|diff|={err:.2e}")
 
 
+def fused_epilogue(n=51, t_end=0.25):
+    """Obstacle + target + Jaime discount fused into the substep kernel
+    (VERDICT r3 #1) must match the XLA path through real Mosaic lowering
+    (interpret-mode CPU tests cannot catch lowering rejects)."""
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], n,
+                       periodic_dims=[2])
+    v = cylinder(grid, ignore_axes=[2], radius=5.0)
+    obs = cylinder(grid, center=[8.0, 4.0, 0.0], ignore_axes=[2],
+                   radius=3.0)
+    tgt = cylinder(grid, ignore_axes=[2], radius=4.0)
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    kw = dict(comp_method="minVWithL", targets=tgt, obstacles=obs,
+              discount_factor=0.95, save_all=False)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    r1 = solve(grid, system, v, tau, cfg=cfg_x, **kw)
+    r2 = solve(grid, system, v, tau, cfg=cfg_p, **kw)
+    err = np.abs(np.asarray(r1.values) - np.asarray(r2.values)).max()
+    scale = np.abs(np.asarray(r1.values)).max()
+    check("fused epilogue (obstacle+withL+discount) vs xla",
+          err < 1e-3 * scale and np.isfinite(np.asarray(r2.values)).all()
+          and int(r1.steps) == int(r2.steps),
+          f"max|diff|={err:.2e} steps {int(r1.steps)}=={int(r2.steps)}")
+
+
+def fused_epilogue_4d(shape=(24, 24, 16, 16), t_end=0.2):
+    from levelsetpy_tpu import PlanarDoubleIntegrator, sphere
+
+    grid = create_grid([-2.0, -2.0, -1.0, -1.0], [2.0, 2.0, 1.0, 1.0],
+                       shape)
+    v = sphere(grid, radius=1.0)
+    obs = sphere(grid, center=[1.0, 1.0, 0.0, 0.0], radius=0.5)
+    system = PlanarDoubleIntegrator(u_max=1.0, d_max=0.2)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    r1 = solve(grid, system, v, tau, cfg=cfg_x, obstacles=obs,
+               save_all=False)
+    r2 = solve(grid, system, v, tau, cfg=cfg_p, obstacles=obs,
+               save_all=False)
+    err = np.abs(np.asarray(r1.values) - np.asarray(r2.values)).max()
+    scale = np.abs(np.asarray(r1.values)).max()
+    check("fused 4-D epilogue (obstacle) vs xla", err < 1e-3 * scale,
+          f"max|diff|={err:.2e}")
+
+
+def fused_epilogue_batch(n=31, B=128, t_end=0.2):
+    from levelsetpy_tpu import solve_batch
+
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], n,
+                       periodic_dims=[2])
+    v = cylinder(grid, ignore_axes=[2], radius=5.0).astype(jnp.float32)
+    obs = cylinder(grid, center=[8.0, 4.0, 0.0], ignore_axes=[2],
+                   radius=3.0).astype(jnp.float32)
+    system = DubinsRel(
+        v_e=jnp.linspace(3.0, 7.0, B, dtype=jnp.float32),
+        v_p=5.0,
+        w_bound=jnp.linspace(0.5, 2.0, B, dtype=jnp.float32))
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    r1 = solve_batch(grid, system, v, tau, cfg=cfg_x, obstacles=obs,
+                     save_all=False)
+    r2 = solve_batch(grid, system, v, tau, cfg=cfg_p, obstacles=obs,
+                     save_all=False)
+    err = np.abs(np.asarray(r1.values) - np.asarray(r2.values)).max()
+    scale = np.abs(np.asarray(r1.values)).max()
+    check("fused batch epilogue (obstacle) vs xla", err < 1e-3 * scale,
+          f"max|diff|={err:.2e} steps {int(r1.steps)}=={int(r2.steps)}")
+
+
+def fused_neighbors_eps(n=51, t_end=0.25):
+    """maxOverNeighbors epsilon built in-kernel (weno3d._resolve_epsq)
+    through real Mosaic; parity is tight (node-local — no lag)."""
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], n,
+                       periodic_dims=[2])
+    v = cylinder(grid, ignore_axes=[2], radius=5.0)
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="maxOverNeighbors")
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="maxOverNeighbors", use_pallas=True)
+    r1 = solve(grid, system, v, tau, cfg=cfg_x, save_all=False)
+    r2 = solve(grid, system, v, tau, cfg=cfg_p, save_all=False)
+    err = np.abs(np.asarray(r1.values) - np.asarray(r2.values)).max()
+    scale = np.abs(np.asarray(r1.values)).max()
+    check("fused maxOverNeighbors eps vs xla", err < 1e-4 * scale,
+          f"max|diff|={err:.2e} steps {int(r1.steps)}=={int(r2.steps)}")
+
+
 if __name__ == "__main__":
     print("device:", jax.devices()[0], flush=True)
-    accuracy_gate()
-    pallas_equivalence()
-    fused_step_solve()
-    fused_step_4d()
-    sharded_fused_step()
+    quick = "--quick" in sys.argv
+    if not quick:
+        accuracy_gate()
+        pallas_equivalence()
+        fused_step_solve()
+        fused_step_4d()
+        sharded_fused_step()
+    fused_epilogue()
+    fused_epilogue_4d()
+    fused_epilogue_batch()
+    fused_neighbors_eps()
     sys.exit(1 if FAILED else 0)

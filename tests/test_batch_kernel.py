@@ -126,6 +126,36 @@ def test_batch_solve_matches_xla_constant_eps(interpret_pallas):
     assert int(r1.steps) == int(r2.steps)
 
 
+def test_batch_solve_arbitrary_size_pads_to_lane_chunk(interpret_pallas):
+    """B=100 (not a lane-chunk multiple) must still route through the fused
+    kernel: solve_batch pads by replicating the last scenario up to 128
+    lanes and slices the results back (VERDICT r3 #5).  Per-element results
+    must match the XLA batch path exactly like the full-chunk case."""
+    Bn = 100
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       (14, 12, 16), periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], radius=5.0)
+    system = DubinsRel(
+        v_e=jnp.linspace(3.0, 7.0, Bn, dtype=jnp.float32),
+        v_p=5.0,
+        w_bound=jnp.linspace(0.5, 2.0, Bn, dtype=jnp.float32))
+    tau = jnp.array([0.0, 0.15], jnp.float32)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="constant")
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="constant", use_pallas=True)
+    r1 = solve_batch(grid, system, target.astype(jnp.float32), tau,
+                     cfg=cfg_x, save_all=False)
+    r2 = solve_batch(grid, system, target.astype(jnp.float32), tau,
+                     cfg=cfg_p, save_all=False)
+    assert r1.values.shape[-1] == Bn and r2.values.shape[-1] == Bn
+    assert r2.changes.shape[-1] == Bn and r2.stop_index.shape == (Bn,)
+    scale = float(jnp.max(jnp.abs(r1.values)))
+    np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
+                               atol=2e-5 * scale)
+    assert int(r1.steps) == int(r2.steps)
+
+
 def test_batch_fused_substep_route_is_taken():
     """The minVOverTime no-operand config must satisfy the fused-substep
     eligibility (guards against silent fallback making the solve tests
@@ -197,8 +227,10 @@ def test_batch_substep_nonperiodic_z(interpret_pallas):
 
 
 def test_batch_kernel_ineligible_fallbacks(interpret_pallas):
-    """B not a multiple of 128 and vector system leaves silently fall back
-    to the XLA path with identical values."""
+    """Raw-kernel eligibility still demands the lane-chunk multiple and
+    consistent (B,) system leaves; at the solve_batch surface a non-multiple
+    B now routes FUSED via last-scenario padding (VERDICT r3 #5) and must
+    match the XLA path within the lagged-eps budget."""
     from levelsetpy_tpu.terms import batch_pallas_eligible
 
     grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
@@ -217,5 +249,121 @@ def test_batch_kernel_ineligible_fallbacks(interpret_pallas):
     r1 = solve_batch(grid, sysb, target, tau, save_all=False,
                      cfg=SchemeConfig(accuracy="veryHigh", rk_order=2))
     r2 = solve_batch(grid, sysb, target, tau, save_all=False, cfg=cfg_p)
+    scale = float(jnp.max(jnp.abs(r1.values)))
     np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
-                               atol=1e-6)
+                               atol=5e-4 * scale)
+
+
+# ------------------------------------------------ fused epilogue (batch)
+def _epilogue_setup():
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       (14, 12, 16), periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], radius=5.0).astype(jnp.float32)
+    obs = cylinder(grid, center=[8.0, 4.0, 0.0], ignore_axes=[2],
+                   radius=3.0).astype(jnp.float32)
+    tgt = cylinder(grid, ignore_axes=[2], radius=4.0).astype(jnp.float32)
+    system = DubinsRel(
+        v_e=jnp.linspace(3.0, 7.0, B, dtype=jnp.float32),
+        v_p=5.0,
+        w_bound=jnp.linspace(0.5, 2.0, B, dtype=jnp.float32))
+    return grid, target, obs, tgt, system
+
+
+CFG_XC = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                      epsilon_method="constant")
+CFG_PC = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                      epsilon_method="constant", use_pallas=True)
+
+
+def _match(r1, r2, atol_scale=2e-5):
+    scale = float(jnp.max(jnp.abs(r1.values)))
+    np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
+                               atol=atol_scale * scale)
+    assert int(r1.steps) == int(r2.steps)
+
+
+def test_batch_fused_epilogue_obstacle(interpret_pallas):
+    """Obstacled sweeps route through the fused batch kernel now
+    (VERDICT r3 #1): shared obstacle broadcast across the scenario lanes,
+    per-element parity with the XLA batch path."""
+    grid, target, obs, _, system = _epilogue_setup()
+    tau = jnp.array([0.0, 0.08, 0.16], jnp.float32)
+    r1 = solve_batch(grid, system, target, tau, cfg=CFG_XC, obstacles=obs,
+                     save_all=False)
+    r2 = solve_batch(grid, system, target, tau, cfg=CFG_PC, obstacles=obs,
+                     save_all=False)
+    _match(r1, r2)
+
+
+def test_batch_fused_epilogue_discount_target(interpret_pallas):
+    """minVWithL + per-scenario Jaime discount + obstacle: gamma rides the
+    packed rows; frozen early-finishers must skip the (non-idempotent)
+    discount exactly like the XLA batch freeze."""
+    grid, target, obs, tgt, system = _epilogue_setup()
+    tau = jnp.array([0.0, 0.08, 0.16], jnp.float32)
+    gam = jnp.linspace(0.85, 0.99, B, dtype=jnp.float32)
+    r1 = solve_batch(grid, system, target, tau, cfg=CFG_XC,
+                     comp_method="minVWithL", targets=tgt, obstacles=obs,
+                     discount_factor=gam, save_all=False)
+    r2 = solve_batch(grid, system, target, tau, cfg=CFG_PC,
+                     comp_method="minVWithL", targets=tgt, obstacles=obs,
+                     discount_factor=gam, save_all=False)
+    _match(r1, r2)
+
+
+def test_batch_fused_epilogue_kene(interpret_pallas):
+    grid, target, _, tgt, system = _epilogue_setup()
+    tau = jnp.array([0.0, 0.08, 0.16], jnp.float32)
+    r1 = solve_batch(grid, system, target, tau, cfg=CFG_XC,
+                     comp_method="minVWithL", targets=tgt,
+                     discount_factor=0.9, discount_mode="Kene",
+                     save_all=False)
+    r2 = solve_batch(grid, system, target, tau, cfg=CFG_PC,
+                     comp_method="minVWithL", targets=tgt,
+                     discount_factor=0.9, discount_mode="Kene",
+                     save_all=False)
+    _match(r1, r2)
+
+
+def test_batch_fused_epilogue_route_taken(interpret_pallas, monkeypatch):
+    from levelsetpy_tpu.kernels import wenobatch
+
+    calls = []
+    orig = wenobatch.fused_rk_step_batch
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(wenobatch, "fused_rk_step_batch", spy)
+    grid, target, obs, _, system = _epilogue_setup()
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                       epsilon_method="constant", use_pallas=True,
+                       factor_cfl=0.7911)
+    solve_batch(grid, system, target, jnp.array([0.0, 0.08], jnp.float32),
+                cfg=cfg, obstacles=obs, save_all=False)
+    assert calls, "obstacled sweep did not route through the fused kernel"
+
+
+def test_batch_solve_max_over_neighbors(interpret_pallas):
+    """Node-local epsilon in the batch substep kernel (VERDICT r3 #3)."""
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       (14, 12, 16), periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], radius=5.0)
+    system = DubinsRel(
+        v_e=jnp.linspace(3.0, 7.0, B, dtype=jnp.float32),
+        v_p=5.0,
+        w_bound=jnp.linspace(0.5, 2.0, B, dtype=jnp.float32))
+    tau = jnp.array([0.0, 0.15], jnp.float32)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="maxOverNeighbors")
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="maxOverNeighbors", use_pallas=True)
+    r1 = solve_batch(grid, system, target.astype(jnp.float32), tau,
+                     cfg=cfg_x, save_all=False)
+    r2 = solve_batch(grid, system, target.astype(jnp.float32), tau,
+                     cfg=cfg_p, save_all=False)
+    scale = float(jnp.max(jnp.abs(r1.values)))
+    np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
+                               atol=2e-5 * scale)
+    assert int(r1.steps) == int(r2.steps)

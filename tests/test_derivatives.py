@@ -189,3 +189,101 @@ def test_centered_first_matches_analytic():
     x = g.coord(0, jnp.float64)
     d = centered_first(g, jnp.sin(x), 0)
     np.testing.assert_allclose(d, jnp.cos(x), atol=1e-3)
+
+
+# ------------------------------------------- independent 'b' formulations
+def test_weno5b_matches_weno5a_constant_eps():
+    """The independent direct-formula WENO5 (b) must agree with the
+    production shared-table path (a) at machine precision when both use
+    the constant epsilon — the reference's own correctness machinery
+    (upwind_first_eno3b.py:83-85), now armed in-repo."""
+    from levelsetpy_tpu.derivatives import (upwind_weno5, upwind_weno5b,
+                                            check_equivalent_approx)
+    g = create_grid([0.0, -1.0], [2 * np.pi, 1.0], (48, 33),
+                    periodic_dims=[0], periodic_endpoint="exclusive")
+    x0 = g.coord(0, jnp.float64)[:, None]
+    x1 = g.coord(1, jnp.float64)[None, :]
+    u = jnp.sin(x0) * (1.0 + 0.3 * x1) + 0.1 * x1 ** 3
+    for axis in range(2):
+        da = upwind_weno5(g, u, axis, epsilon_method="constant")
+        db = upwind_weno5b(g, u, axis)
+        check_equivalent_approx(da[0], db[0], 1e-11, "derivL a-vs-b")
+        check_equivalent_approx(da[1], db[1], 1e-11, "derivR a-vs-b")
+
+
+def test_eno3b_third_order_and_kink_safe():
+    """eno3b's smallest-smoothness selection is a different rule than
+    eno3a's DD tree, but it must still be 3rd-order on smooth data and
+    non-oscillatory at a kink."""
+    from levelsetpy_tpu.derivatives import upwind_eno3b
+
+    errs = [smooth_error(upwind_eno3b, n) for n in (40, 80)]
+    order = np.log2(errs[0] / errs[1])
+    assert order > 2.5, (errs, order)
+
+    g = create_grid([-1.0], [1.0], 81)
+    x = g.coord(0, jnp.float64)
+    u = jnp.abs(x)  # kink at 0: derivatives must stay in [-1, 1] + O(dx)
+    dl, dr = upwind_eno3b(g, u, 0)
+    assert float(jnp.max(jnp.abs(dl))) < 1.0 + 1e-6
+    assert float(jnp.max(jnp.abs(dr))) < 1.0 + 1e-6
+
+
+def test_generate_all_candidate_equivalences():
+    """generateAll debug mode: the reference's L/R candidate equivalences
+    phi2^L == phi3^R and phi3^L == phi2^R (upwind_first_eno3b.py:78-85)
+    hold on the independent path, and candidates agree across the two
+    formulations."""
+    from levelsetpy_tpu.derivatives import (self_check_derivatives,
+                                            upwind_eno3b, upwind_weno5b,
+                                            check_equivalent_approx)
+    g = create_grid([0.0], [2 * np.pi], 64, periodic_dims=[0],
+                    periodic_endpoint="exclusive")
+    x = g.coord(0, jnp.float64)
+    u = jnp.sin(x) + 0.2 * jnp.cos(3 * x)
+
+    for fn in (upwind_eno3b, upwind_weno5b):
+        cl, cr = fn(g, u, 0, generate_all=True)
+        assert len(cl) == 3 and len(cr) == 3
+        check_equivalent_approx(cl[1], cr[2], 1e-11, "phi2L vs phi3R")
+        check_equivalent_approx(cl[2], cr[1], 1e-11, "phi3L vs phi2R")
+
+    # the full cross-formulation self-check machinery runs clean
+    max_err = self_check_derivatives(g, u, 0)
+    assert max_err < 1e-11
+
+
+def test_self_check_derivatives_catches_disagreement(monkeypatch):
+    """The self-check must actually FAIL when a formulation is broken
+    (guards against the oracle machinery going vacuous)."""
+    import levelsetpy_tpu.derivatives as D
+
+    g = create_grid([0.0], [2 * np.pi], 32, periodic_dims=[0],
+                    periodic_endpoint="exclusive")
+    x = g.coord(0, jnp.float64)
+    u = jnp.sin(x)
+
+    orig = D.weno5b_from_padded
+
+    def broken(dx, gdata, axis, n, generate_all=False):
+        r = orig(dx, gdata, axis, n, generate_all)
+        if generate_all:
+            return r
+        return r[0] + 1e-3, r[1]
+
+    monkeypatch.setattr(D, "weno5b_from_padded", broken)
+    with pytest.raises(AssertionError):
+        D.self_check_derivatives(g, u, 0)
+
+
+def test_accuracy_names_resolve_b_formulations():
+    """'eno3b'/'weno5b' are real scheme names on the solver config surface
+    (distinct code path from eno3/weno5)."""
+    from levelsetpy_tpu.derivatives import upwind_fn, padded_fn
+
+    fn_b, w = upwind_fn("weno5b")
+    assert w == 3
+    kern_b, wb = padded_fn("eno3b")
+    assert wb == 3
+    fn_a, _ = upwind_fn("weno5")
+    assert fn_b is not fn_a

@@ -105,3 +105,21 @@ def test_fused4d_rocket(interpret_pallas):
                                atol=2e-5 * scale)
     m = np.isfinite(np.asarray(r1.ttr))
     assert (np.isfinite(np.asarray(r2.ttr)) == m).all()
+
+
+def test_fused_4d_max_over_neighbors(interpret_pallas):
+    """Node-local O&F (3.38) epsilon through the packed-lane 4-D kernel."""
+    from levelsetpy_tpu import solve
+
+    grid, system, v = setup4d((10, 10, 8, 8))
+    tau = jnp.array([0.0, 0.1], jnp.float32)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="maxOverNeighbors")
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="maxOverNeighbors", use_pallas=True)
+    r1 = solve(grid, system, v, tau, cfg=cfg_x)
+    r2 = solve(grid, system, v, tau, cfg=cfg_p)
+    scale = float(jnp.max(jnp.abs(r1.values)))
+    np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
+                               atol=2e-5 * scale)
+    assert int(r1.steps) == int(r2.steps)

@@ -220,3 +220,65 @@ def test_fused_kernel_2d_solve_matches_xla(interpret_pallas):
     np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
                                atol=1e-5 * scale)
     assert int(r1.steps) == int(r2.steps)
+
+
+# ---------------------------------------- maxOverNeighbors / LLF in-kernel
+def test_fused_kernel_max_over_neighbors(interpret_pallas):
+    """Node-local O&F (3.38) epsilon built in-kernel must match the XLA
+    path's maxOverNeighbors (VERDICT r3 #3)."""
+    grid, v, system, xs, ops, ab = setup((16, 16, 16))
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="maxOverNeighbors")
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="maxOverNeighbors", use_pallas=True)
+    d1, _ = hj_rhs(grid, cfg_x, system, 0.0, v, xs, ab, ops)
+    d2, _ = hj_rhs(grid, cfg_p, system, 0.0, v, xs, ab, ops)
+    scale = float(jnp.max(jnp.abs(d1)))
+    np.testing.assert_allclose(d2, d1, atol=2e-5 * scale)
+
+
+def test_fused_step_solve_max_over_neighbors(interpret_pallas):
+    """Full fused-substep solve with the node-local epsilon: NO lagged-eps
+    transient, so parity is tight; the carry is a dummy."""
+    from levelsetpy_tpu import solve
+
+    grid, v, system, xs, ops, ab = setup((20, 16, 16))
+    tau = jnp.linspace(0.0, 0.2, 3)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="maxOverNeighbors")
+    cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="maxOverNeighbors", use_pallas=True)
+    r1 = solve(grid, system, v, tau, cfg=cfg_x, comp_method="minVOverTime")
+    r2 = solve(grid, system, v, tau, cfg=cfg_p, comp_method="minVOverTime")
+    scale = float(jnp.max(jnp.abs(r1.values)))
+    np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
+                               atol=2e-5 * scale)
+    assert int(r1.steps) == int(r2.steps)
+
+
+@pytest.mark.parametrize("kind", ["local", "locallocal"])
+def test_fused_step_local_dissipation(interpret_pallas, kind):
+    """LLF/LLLF route through the fused kernel for alpha_time_invariant
+    systems (costate-free alpha -> identical dissipation for all three
+    kinds; VERDICT r3 #3).  Both the kernel and the XLA-local paths must
+    agree with the global-XLA result."""
+    from levelsetpy_tpu import solve
+    from levelsetpy_tpu.terms import pallas_eligible
+
+    grid, v, system, xs, ops, ab = setup((20, 16, 16))
+    tau = jnp.linspace(0.0, 0.15, 2)
+    cfg_l = SchemeConfig(accuracy="veryHigh", rk_order=2, dissipation=kind,
+                         epsilon_method="constant")
+    cfg_lp = SchemeConfig(accuracy="veryHigh", rk_order=2, dissipation=kind,
+                          epsilon_method="constant", use_pallas=True)
+    cfg_g = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                         epsilon_method="constant")
+    assert pallas_eligible(grid, cfg_lp, v, system)
+    r_g = solve(grid, system, v, tau, cfg=cfg_g)
+    r_l = solve(grid, system, v, tau, cfg=cfg_l)
+    r_lp = solve(grid, system, v, tau, cfg=cfg_lp)
+    scale = float(jnp.max(jnp.abs(r_g.values)))
+    np.testing.assert_allclose(np.asarray(r_l.values),
+                               np.asarray(r_g.values), atol=1e-6 * scale)
+    np.testing.assert_allclose(np.asarray(r_lp.values),
+                               np.asarray(r_g.values), atol=2e-5 * scale)

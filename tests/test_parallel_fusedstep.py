@@ -131,3 +131,44 @@ def test_sharded_fused_step_fallback_multi_axis(interpret_pallas):
     scale = float(jnp.max(jnp.abs(r_1.values)))
     np.testing.assert_allclose(np.asarray(r_sh.values),
                                np.asarray(r_1.values), atol=2e-5 * scale)
+
+
+def test_sharded_fused_epilogue_obstacle(interpret_pallas):
+    """Fused epilogue under sharding (VERDICT r3 #1): obstacle + target
+    comp run inside the per-shard substep kernel; extras are lifted per
+    shard and Kene/Jaime reductions ride the sharded GridOps."""
+    grid, system, v = setup((32, 20, 16))
+    obs = cylinder(grid, center=[8.0, 4.0, 0.0], ignore_axes=[2],
+                   radius=3.0).astype(jnp.float32)
+    tau = jnp.linspace(0.0, 0.2, 3)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True,
+                       epsilon_method="constant")
+    mesh = make_mesh({"x": 4})
+    r_sh = solve_sharded(grid, system, v, tau, shard_axes={0: "x"},
+                         mesh=mesh, cfg=cfg, obstacles=obs,
+                         discount_factor=0.95)
+    r_1 = solve(grid, system, v, tau, cfg=cfg, obstacles=obs,
+                discount_factor=0.95)
+    scale = float(jnp.max(jnp.abs(r_1.values)))
+    np.testing.assert_allclose(np.asarray(r_sh.values),
+                               np.asarray(r_1.values), atol=2e-5 * scale)
+    assert int(r_sh.steps) == int(r_1.steps)
+
+
+def test_sharded_fused_step_max_over_neighbors(interpret_pallas):
+    """Node-local epsilon under sharding: no lagged-eps carry, hence NO
+    per-substep cross-shard allreduce (the only remaining per-substep
+    communication is the x-halo ppermute) — VERDICT r3 #3.  Values must
+    match the single-device solve tightly (no transient)."""
+    grid, system, v = setup((32, 20, 16))
+    tau = jnp.linspace(0.0, 0.2, 3)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True,
+                       epsilon_method="maxOverNeighbors")
+    mesh = make_mesh({"x": 4})
+    r_sh = solve_sharded(grid, system, v, tau, shard_axes={0: "x"},
+                         mesh=mesh, cfg=cfg, comp_method="minVOverTime")
+    r_1 = solve(grid, system, v, tau, cfg=cfg, comp_method="minVOverTime")
+    scale = float(jnp.max(jnp.abs(r_1.values)))
+    np.testing.assert_allclose(np.asarray(r_sh.values),
+                               np.asarray(r_1.values), atol=2e-5 * scale)
+    assert int(r_sh.steps) == int(r_1.steps)

@@ -407,3 +407,72 @@ class TestIntegratorHooks:
         extr = float(eval_u(g, v, q, extrapolate=True))
         assert abs(clamped - 2.0) < 1e-9
         assert abs(extr - 3.0) < 1e-9
+
+
+class TestCheckCFL:
+    """Opt-in CFL-violation diagnostic (ref ode_cfl_3.py:159-175)."""
+
+    def test_warns_on_violation(self):
+        import warnings as W
+
+        # step bound collapses after the first substep: the dt chosen at
+        # t=0 (from the large bound) grossly violates the second substep's
+        # bound -> the reference-style warning must fire
+        def rhs(t, v):
+            bound = jnp.where(t > 0.0, 1e-4, 1.0)
+            return -0.1 * v, bound
+
+        phi0 = jnp.ones((8,))
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            out = integrate(rhs, 0.0, phi0, 0.05, rk_order=2,
+                            check_cfl=True)
+            jax.block_until_ready(out.v)
+            jax.effects_barrier()
+        assert any("CFL violation" in str(w.message) for w in rec), \
+            [str(w.message) for w in rec]
+
+    def test_silent_when_satisfied(self):
+        import warnings as W
+
+        def rhs(t, v):
+            return -0.1 * v, jnp.asarray(1.0)
+
+        phi0 = jnp.ones((8,))
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            out = integrate(rhs, 0.0, phi0, 0.05, rk_order=3,
+                            check_cfl=True)
+            jax.block_until_ready(out.v)
+            jax.effects_barrier()
+        assert not any("CFL violation" in str(w.message) for w in rec)
+
+    def test_scheme_config_carries_flag(self):
+        cfg = SchemeConfig(check_cfl=True)
+        assert cfg.check_cfl and hash(cfg) != hash(SchemeConfig())
+
+
+class TestOnCheckpoint:
+    """Opt-in in-solve snapshot hook (ref hji_solver.py:731-836 per-step
+    redraw, at tau-checkpoint frequency here)."""
+
+    def test_callback_fires_per_interval(self):
+        grid = create_grid([-1.0, -1.0], [1.0, 1.0], 21)
+        sys_ = DoubleIntegrator(u_max=1.0)
+        phi0 = sphere(grid, center=[0.0, 0.0], radius=0.3)
+        snaps = []
+
+        def hook(t, v):
+            snaps.append((float(t), np.asarray(v).copy()))
+
+        tau = jnp.linspace(0.0, 0.3, 4)
+        res = solve(grid, sys_, phi0, tau,
+                    cfg=SchemeConfig(accuracy="medium", rk_order=2),
+                    on_checkpoint=hook)
+        jax.block_until_ready(res.values)
+        jax.effects_barrier()
+        assert len(snaps) == 3
+        ts = [t for t, _ in snaps]
+        assert ts == sorted(ts)
+        for (t, v), expect in zip(snaps, np.asarray(res.values[1:])):
+            np.testing.assert_array_equal(v, expect)
