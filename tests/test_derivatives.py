@@ -287,3 +287,31 @@ def test_accuracy_names_resolve_b_formulations():
     assert wb == 3
     fn_a, _ = upwind_fn("weno5")
     assert fn_b is not fn_a
+
+
+def test_b_formulations_solve_end_to_end():
+    """'weno5b'/'eno3b' are usable accuracy names on the solver surface
+    (independent stencil path through the full solve)."""
+    import jax.numpy as jnp
+    from levelsetpy_tpu import (DoubleIntegrator, SchemeConfig, create_grid,
+                                solve, sphere)
+
+    g = create_grid([-1.0, -1.0], [1.0, 1.0], 31)
+    sys_ = DoubleIntegrator(u_max=1.0)
+    phi0 = sphere(g, center=[0.0, 0.0], radius=0.3)
+    tau = jnp.array([0.0, 0.1])
+    ra = solve(g, sys_, phi0, tau,
+               cfg=SchemeConfig(accuracy="veryHigh", rk_order=2,
+                                epsilon_method="constant"))
+    rb = solve(g, sys_, phi0, tau,
+               cfg=SchemeConfig(accuracy="weno5b", rk_order=2))
+    re = solve(g, sys_, phi0, tau,
+               cfg=SchemeConfig(accuracy="eno3b", rk_order=2))
+    va, vb, ve = (np.asarray(r.values[-1]) for r in (ra, rb, re))
+    assert np.isfinite(vb).all() and np.isfinite(ve).all()
+    scale = np.abs(va).max()
+    # weno5b == weno5a at constant eps (identical scheme, different code
+    # path -> f32 re-association only)
+    np.testing.assert_allclose(vb, va, atol=1e-6 * scale)
+    # eno3b is a different (3rd-order) selection rule: close, not equal
+    assert np.abs(ve - va).max() < 0.05 * scale
