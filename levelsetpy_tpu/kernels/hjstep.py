@@ -147,33 +147,65 @@ def refresh_x_ghosts(grid: Grid, vq: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.dynamic_update_slice_in_dim(vq, ghi, x + 3, axis=0)
 
 
-def refresh_x_ghosts_sharded(lgrid: Grid, vq: jnp.ndarray, mesh_axis: str):
-    """Sharded :func:`refresh_x_ghosts`: the 6 ghost ROWS of an x-sharded
-    block refresh from the ring neighbours via ``ppermute`` (one ICI hop
-    each way); global-domain edge shards apply the boundary condition
-    instead, selected branchlessly by ``axis_index`` (SPMD — same program
-    on every shard).  Call inside ``shard_map``.
+def refresh_ghosts_sharded(lgrid: Grid, vq: jnp.ndarray, axis: int,
+                           mesh_axis: str):
+    """Refresh the 6 ghost layers of a SHARDED axis of the aligned layout
+    from the ring neighbours via ``ppermute`` (one ICI hop each way);
+    global-domain edge shards apply the boundary condition instead,
+    selected branchlessly by ``axis_index`` (SPMD — same program on every
+    shard).  Call inside ``shard_map``.
 
-    For a periodic global x axis the ring IS the boundary condition, so
-    the permute alone is exact (``parallel/halo.py`` semantics).
+    For a periodic global axis the ring IS the boundary condition, so the
+    permute alone is exact (``parallel/halo.py`` semantics).  Works on any
+    leading/sublane axis of the aligned array (axis 0 rows under
+    x-sharding; axis 1 columns under y-sharding — the in-kernel y ghost
+    fill is then disabled, see ``fused_substep_3d(fill_axes=...)``).
     """
     from ..parallel.halo import _extrapolation_ghosts, _shift
 
-    x = lgrid.shape[0]
-    interior = jax.lax.slice_in_dim(vq, 3, x + 3, axis=0)
-    top = jax.lax.slice_in_dim(interior, x - 3, x, axis=0)
-    bottom = jax.lax.slice_in_dim(interior, 0, 3, axis=0)
+    n = lgrid.shape[axis]
+    interior = jax.lax.slice_in_dim(vq, 3, n + 3, axis=axis)
+    top = jax.lax.slice_in_dim(interior, n - 3, n, axis=axis)
+    bottom = jax.lax.slice_in_dim(interior, 0, 3, axis=axis)
     from_left = _shift(top, mesh_axis, +1)
     from_right = _shift(bottom, mesh_axis, -1)
-    if not lgrid.periodic[0]:
+    if not lgrid.periodic[axis]:
         idx = jax.lax.axis_index(mesh_axis)
         size = jax.lax.axis_size(mesh_axis)
-        lo_ghost, hi_ghost = _extrapolation_ghosts(interior, 0, 3)
+        lo_ghost, hi_ghost = _extrapolation_ghosts(interior, axis, 3)
         from_left = jnp.where(idx == 0, lo_ghost, from_left)
         from_right = jnp.where(idx == size - 1, hi_ghost, from_right)
-    vq = jax.lax.dynamic_update_slice_in_dim(vq, from_left, 0, axis=0)
-    return jax.lax.dynamic_update_slice_in_dim(vq, from_right, x + 3,
-                                               axis=0)
+    vq = jax.lax.dynamic_update_slice_in_dim(vq, from_left, 0, axis=axis)
+    return jax.lax.dynamic_update_slice_in_dim(vq, from_right, n + 3,
+                                               axis=axis)
+
+
+def refresh_x_ghosts_sharded(lgrid: Grid, vq: jnp.ndarray, mesh_axis: str):
+    """Back-compat wrapper: axis-0 case of :func:`refresh_ghosts_sharded`."""
+    return refresh_ghosts_sharded(lgrid, vq, 0, mesh_axis)
+
+
+def shard_spec(shard):
+    """Normalize the ``shard`` argument of the fused RK steps to
+    ``({grid axis: mesh name}, mesh axis names)``.  Accepts None, the
+    legacy x-only ``(name, mesh_names)`` form, and the general
+    ``({axis: name}, mesh_names)`` form."""
+    if shard is None:
+        return {}, ()
+    head, names = shard
+    if isinstance(head, str):
+        return {0: head}, names
+    return dict(head), names
+
+
+def refresh_sharded_axes(lgrid: Grid, vq: jnp.ndarray, smap) -> jnp.ndarray:
+    """Ghost refresh for every sharded axis of the aligned state.  Higher
+    axes run FIRST so the axis-0 exchange ships rows whose y ghosts are
+    already valid (corner coverage, same order argument as
+    ``wenobatch.refresh_xy_ghosts_batch``)."""
+    for axis in sorted(smap, reverse=True):
+        vq = refresh_ghosts_sharded(lgrid, vq, axis, smap[axis])
+    return vq
 
 
 # ------------------------------------------------------------- kernel helpers
@@ -292,6 +324,11 @@ def fused_substep_3d(
                                  # in-kernel (VERDICT r3 #2: systems with
                                  # expensive alphas — flock member maxima —
                                  # trade 3 HBM reads for the VPU cost)
+    fill_axes: tuple = (1, 2),   # which output axes get their ghost layers
+                                 # filled IN-KERNEL from the updated
+                                 # interior; a SHARDED y axis is excluded
+                                 # (its ghosts come from the neighbour
+                                 # shard via refresh_ghosts_sharded)
     origin=None,                 # per-axis global index offset (3 traced
                                  # int32) — the shard's block start when
                                  # the kernel runs inside shard_map (same
@@ -482,8 +519,10 @@ def fused_substep_3d(
                     out = jnp.maximum(out, exs[epi.obs_ex][slot])
 
             # ghost fill of the OUTPUT (y then z) from the updated interior
-            out = _fill_ghost(out, 1, y, grid.periodic[1])
-            out = _fill_ghost(out, 2, z, grid.periodic[2])
+            if 1 in fill_axes:
+                out = _fill_ghost(out, 1, y, grid.periodic[1])
+            if 2 in fill_axes:
+                out = _fill_ghost(out, 2, z, grid.periodic[2])
 
             if bi >= 2:
                 out_dma(slot, bi - 2).wait()
@@ -578,10 +617,12 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
     (bench_all ``accuracy_101`` row).  For ``constant`` the carry passes
     through untouched.
 
-    Sharded execution (inside shard_map, x-only-sharded grids): pass the
-    LOCAL block grid, ``origin`` = per-axis global block starts, and
-    ``shard = (x mesh-axis name, all mesh axis names)`` — the ghost-row
-    refresh becomes a ppermute halo exchange and the lagged epsilon
+    Sharded execution (inside shard_map; grids sharded over x and/or y):
+    pass the LOCAL block grid, ``origin`` = per-axis global block starts,
+    and ``shard = ({grid axis: mesh-axis name}, all mesh axis names)``
+    (the legacy ``(x mesh-axis name, names)`` form still means x-only) —
+    sharded axes' ghost layers refresh via ppermute halo exchanges
+    (in-kernel y fill is disabled for a sharded y) and the lagged epsilon
     pmax-reduces so every shard agrees.
     """
     import math as _math
@@ -600,6 +641,8 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
     if isinstance(comp, str):
         comp = Epilogue(comp=comp)           # legacy 'min'/'max' shorthand
     epi = comp
+    smap, mesh_names = shard_spec(shard)
+    fill_axes = tuple(a for a in (1, 2) if a not in smap)
 
     def sub(vb, va, eps, tt, cd, ca, cb, fuse_epi):
         r = fused_substep_3d(
@@ -609,16 +652,22 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
             extras=extras if fuse_epi is not None else (),
             gamma=gamma, kene_mv=kene_mv,
             restrict=cfg.restrict_update, want_eps=scaled,
-            eps_neighbors=neighbors, alpha_ops=alpha_ops, origin=origin)
+            eps_neighbors=neighbors, alpha_ops=alpha_ops,
+            fill_axes=fill_axes, origin=origin)
         if scaled:
             o, d1max = r
             eps_next = 1e-6 * jnp.max(d1max, axis=(1, 2)) + floor
             if shard is not None:
-                eps_next = jax.lax.pmax(eps_next, shard[1])
+                eps_next = jax.lax.pmax(eps_next, mesh_names)
         else:
             o, eps_next = r, eps
         if shard is not None:
-            return refresh_x_ghosts_sharded(grid, o, shard[0]), eps_next
+            o = refresh_sharded_axes(grid, o, smap)
+            if 0 not in smap:
+                # unsharded x still needs the local BC ghost-row refresh
+                # (the kernel writes center rows only)
+                o = refresh_x_ghosts(grid, o)
+            return o, eps_next
         return refresh_x_ghosts(grid, o), eps_next
 
     if cfg.rk_order == 1:

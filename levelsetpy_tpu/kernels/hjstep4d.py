@@ -198,6 +198,9 @@ def fused_substep_4d(
     block_x: int = 8,
     want_eps: bool = False,
     eps_neighbors: bool = False,  # per-window O&F (3.38) epsilon in-kernel
+    fill_y: bool = True,         # in-kernel y ghost fill (disabled when y
+                                 # is sharded; z/w are packed lanes and
+                                 # always fill in-kernel)
     origin=None,                 # per-axis global index offset (4 traced
                                  # int32) — the shard's block start inside
                                  # shard_map
@@ -363,7 +366,8 @@ def fused_substep_4d(
                     out = jnp.maximum(out, exs[epi.obs_ex][slot])
 
             # ghost fill of the OUTPUT: y (sublane), then z and w (packed)
-            out = _fill_ghost(out, 1, y, grid.periodic[1])
+            if fill_y:
+                out = _fill_ghost(out, 1, y, grid.periodic[1])
             out = _fill_ghost_packed(out, z, wwidth, z + 6,
                                      grid.periodic[2])
             out = _fill_ghost_packed(out, w, 1, wwidth, grid.periodic[3])
@@ -490,6 +494,9 @@ def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
     if isinstance(comp, str):
         comp = Epilogue(comp=comp)
     epi = comp
+    from .hjstep import refresh_sharded_axes, shard_spec
+
+    smap, mesh_names = shard_spec(shard)
 
     def sub(vb, va, eps, tt, cd, ca, cb, fuse_epi):
         r = fused_substep_4d(
@@ -499,18 +506,21 @@ def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
             extras=extras if fuse_epi is not None else (),
             gamma=gamma, kene_mv=kene_mv,
             restrict=cfg.restrict_update, want_eps=scaled,
-            eps_neighbors=neighbors, origin=origin)
+            eps_neighbors=neighbors, fill_y=1 not in smap, origin=origin)
         if scaled:
             o, d1max = r
             eps_next = 1e-6 * jnp.max(d1max, axis=(1, 2)) + floor
             if shard is not None:
-                eps_next = jax.lax.pmax(eps_next, shard[1])
+                eps_next = jax.lax.pmax(eps_next, mesh_names)
         else:
             o, eps_next = r, eps
         if shard is not None:
-            from .hjstep import refresh_x_ghosts_sharded
-
-            return refresh_x_ghosts_sharded(grid, o, shard[0]), eps_next
+            o = refresh_sharded_axes(grid, o, smap)
+            if 0 not in smap:
+                # unsharded x still needs the local BC ghost-row refresh
+                # (the kernel writes center rows only)
+                o = refresh_x_ghosts(grid, o)
+            return o, eps_next
         return refresh_x_ghosts(grid, o), eps_next
 
     if cfg.rk_order == 1:

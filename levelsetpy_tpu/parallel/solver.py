@@ -153,13 +153,16 @@ def solve_sharded(
       * ``ignore_boundary`` masks the convergence reduction by each node's
         GLOBAL index (the single-device path slices instead —
         ref ``hji_solver.py:663``); identical effective region.
-      * ``cfg.use_pallas`` + x-ONLY sharding runs the persistent-layout
-        fused RK-step kernel PER SHARD (``kernels/hjstep.py``): y/z ghost
-        layers fill in-kernel (those axes are whole per shard), the 6
-        x-ghost rows refresh via one ppermute hop each way, and the lagged
-        WENO epsilon pmax-reduces per substep.  Other shardings run the
-        fused Pallas RHS kernel per shard on its halo-exchanged local
-        block instead (see ``terms.hj_rhs``).
+      * ``cfg.use_pallas`` + sharding over x and/or y runs the
+        persistent-layout fused RK-step kernel PER SHARD
+        (``kernels/hjstep.py`` / ``hjstep4d.py``): whole trailing/packed
+        axes fill their ghost layers in-kernel, each SHARDED axis's 6
+        ghost layers refresh via one ppermute hop each way (y before x
+        for corner coverage), and the lagged WENO epsilon pmax-reduces
+        per substep (zero per-substep collectives with
+        ``epsilon_method='maxOverNeighbors'``).  Shardings that touch the
+        trailing/lane axes run the fused Pallas RHS kernel per shard on
+        halo-exchanged local blocks instead (see ``terms.hj_rhs``).
     """
     from ..derivatives import GHOST_WIDTH
 
@@ -215,14 +218,16 @@ def _sharded_run(grid, cfg, comp_method, shard_items, mesh, obstacles_tv,
     nd = grid.ndim
     mesh_axes = tuple(mesh.axis_names)
     lgrid = local_grid(grid, shard_axes, mesh)
-    # x-only-sharded 3-D/4-D grids run the persistent-layout fused RK-step
-    # kernel PER SHARD (kernels/hjstep.py / hjstep4d.py): the kernel's
-    # in-kernel trailing-axis ghost fill is valid because those axes are
-    # whole per shard, the x-ghost rows refresh via ppermute, and the
-    # lagged epsilon pmax-reduces.  Any other sharding falls back to the
-    # per-RHS path.
-    fused_shard = ((shard_axes[0], mesh_axes)
-                   if set(shard_axes) == {0} and nd in (3, 4) else None)
+    # Grids sharded over x and/or y run the persistent-layout fused
+    # RK-step kernel PER SHARD (kernels/hjstep.py / hjstep4d.py): whole
+    # (trailing/packed) axes keep the in-kernel ghost fill, each SHARDED
+    # axis's 6 ghost layers refresh via ppermute halo hops
+    # (hjstep.refresh_ghosts_sharded; y runs before x for corner
+    # coverage), and the lagged epsilon pmax-reduces.  Shardings that
+    # touch the trailing/lane axes fall back to the per-RHS path.
+    fused_shard = ((dict(shard_axes), mesh_axes)
+                   if shard_axes and set(shard_axes) <= {0, 1}
+                   and nd in (3, 4) else None)
 
     grid_spec = P(*(shard_axes.get(i) for i in range(nd)))
     grid_spec_t = P(None, *(shard_axes.get(i) for i in range(nd)))

@@ -419,12 +419,13 @@ def _solve_core(
 
                 vq0 = lift(fgrid, v)
                 if fused_shard is not None and not use_fused_batch:
-                    # lift BC-padded the sharded x axis; pull the real
-                    # ghost rows from the ring neighbours first
-                    from .kernels.hjstep import refresh_x_ghosts_sharded
+                    # lift BC-padded the sharded axes; pull the real
+                    # ghost layers from the ring neighbours first
+                    from .kernels.hjstep import (refresh_sharded_axes,
+                                                 shard_spec)
 
-                    vq0 = refresh_x_ghosts_sharded(pgrid, vq0,
-                                                   fused_shard[0])
+                    vq0 = refresh_sharded_axes(pgrid, vq0,
+                                               shard_spec(fused_shard)[0])
                 if use_fused_batch:
                     eps0 = fmod.initial_epsilon_batch(grid, cfg, vq0)
                 elif grid.ndim == 4:

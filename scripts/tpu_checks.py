@@ -145,6 +145,16 @@ def sharded_fused_step(n=71, t_end=0.25):
     check("sharded fused RK-step (mesh=1) vs single-device",
           err < 1e-5 * scale, f"max|diff|={err:.2e}")
 
+    # xy-sharded fused path (sharded-y ghost columns via ppermute, y fill
+    # disabled in-kernel) at mesh size 1x1 — mesh>1 runs on the CPU
+    # virtual mesh in tests/test_parallel_fusedstep.py
+    rxy = solve_sharded(grid, system, v, tau, shard_axes={0: "x", 1: "y"},
+                        mesh=make_mesh({"x": 1, "y": 1}), cfg=cfg,
+                        save_all=False)
+    err = np.abs(np.asarray(r1.values) - np.asarray(rxy.values)).max()
+    check("xy-sharded fused RK-step (1x1 mesh) vs single-device",
+          err < 1e-5 * scale, f"max|diff|={err:.2e}")
+
 
 def fused_epilogue(n=51, t_end=0.25):
     """Obstacle + target + Jaime discount fused into the substep kernel

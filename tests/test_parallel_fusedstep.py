@@ -172,3 +172,64 @@ def test_sharded_fused_step_max_over_neighbors(interpret_pallas):
     np.testing.assert_allclose(np.asarray(r_sh.values),
                                np.asarray(r_1.values), atol=2e-5 * scale)
     assert int(r_sh.steps) == int(r_1.steps)
+
+
+@pytest.mark.parametrize("axes,mesh_shape", [
+    ({1: "y"}, {"y": 4}),            # y-only sharding
+    ({0: "x", 1: "y"}, {"x": 2, "y": 2}),   # 2-D mesh
+])
+def test_sharded_fused_step_xy_meshes(interpret_pallas, axes, mesh_shape):
+    """x+y shardings now run the fused substep kernel per shard: sharded
+    axes' ghosts ride ppermute (y before x for corners), whole axes keep
+    the in-kernel fill.  Must match the single-device fused solve."""
+    grid, system, v = setup((32, 20, 16))
+    tau = jnp.linspace(0.0, 0.2, 3)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True,
+                       epsilon_method="constant")
+    mesh = make_mesh(mesh_shape)
+    r_sh = solve_sharded(grid, system, v, tau, shard_axes=axes,
+                         mesh=mesh, cfg=cfg, comp_method="minVOverTime")
+    r_1 = solve(grid, system, v, tau, cfg=cfg, comp_method="minVOverTime")
+    scale = float(jnp.max(jnp.abs(r_1.values)))
+    np.testing.assert_allclose(np.asarray(r_sh.values),
+                               np.asarray(r_1.values), atol=2e-5 * scale)
+    assert int(r_sh.steps) == int(r_1.steps)
+
+
+def test_sharded_fused_step_xy_route_taken(interpret_pallas):
+    from levelsetpy_tpu.kernels import hjstep
+
+    calls = []
+    orig = hjstep.fused_rk_step
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    hjstep.fused_rk_step, saved = spy, orig
+    try:
+        grid, system, v = setup((32, 20, 16))
+        cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True,
+                           factor_cfl=0.7917)
+        mesh = make_mesh({"x": 2, "y": 2})
+        solve_sharded(grid, system, v, jnp.array([0.0, 0.1]),
+                      shard_axes={0: "x", 1: "y"}, mesh=mesh, cfg=cfg)
+    finally:
+        hjstep.fused_rk_step = saved
+    assert calls, "xy-sharded solve did not route through fused_rk_step"
+
+
+def test_sharded_fused_step_xy_lagged_eps(interpret_pallas):
+    """maxOverGrid lagged-eps carry under the 2-D mesh (pmax over both
+    mesh axes) — parity budget as the x-only case."""
+    grid, system, v = setup((32, 24, 16))
+    tau = jnp.linspace(0.0, 0.2, 3)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    mesh = make_mesh({"x": 2, "y": 2})
+    r_sh = solve_sharded(grid, system, v, tau, shard_axes={0: "x", 1: "y"},
+                         mesh=mesh, cfg=cfg)
+    r_1 = solve(grid, system, v, tau, cfg=cfg)
+    scale = float(jnp.max(jnp.abs(r_1.values)))
+    np.testing.assert_allclose(np.asarray(r_sh.values),
+                               np.asarray(r_1.values), atol=2e-5 * scale)
+    assert int(r_sh.steps) == int(r_1.steps)
