@@ -95,7 +95,7 @@ def bench_di2d():
     g = create_grid([-1.0, -1.0], [1.0, 1.0], n)
     sys_ = DoubleIntegrator(u_max=1.0)
     phi0 = sphere(g, center=[0.0, 0.0], radius=0.1)
-    cfg = SchemeConfig(accuracy="first", rk_order=1, factor_cfl=cfl)
+    cfg = SchemeConfig(accuracy="first", rk_order=1, factor_cfl=cfl, use_pallas=False)
     tau = jnp.array([0.0, t_end], jnp.float32)
 
     def run():
@@ -140,7 +140,7 @@ def bench_di2d_batch(batch=128, n=101, t_end=1.0):
     phi0 = sphere(g, center=[0.0, 0.0], radius=0.1).astype(jnp.float32)
     sys_ = DoubleIntegrator(
         u_max=jnp.linspace(0.8, 1.2, batch, dtype=jnp.float32))
-    cfg = SchemeConfig(accuracy="first", rk_order=1, factor_cfl=cfl)
+    cfg = SchemeConfig(accuracy="first", rk_order=1, factor_cfl=cfl, use_pallas=False)
     tau = jnp.array([0.0, t_end], jnp.float32)
 
     def run():
@@ -213,7 +213,7 @@ def bench_sweep(batch=1024, n=31, t_end=0.25):
     grid = create_grid(lo, hi, n, periodic_dims=[2])
     target = cylinder(grid, ignore_axes=[2], radius=5.0)
     tau = jnp.array([0.0, t_end], jnp.float32)
-    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False)
 
     def solve_one(params):
         ve, w = params
@@ -324,7 +324,7 @@ def bench_rocket4d_sharded(shape=(48, 48, 24, 24), t_end=0.3):
     system = RocketSystem()
     target = cylinder(grid, ignore_axes=[2, 3], radius=100.0)
     tau = jnp.array([0.0, t_end], jnp.float32)
-    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False)
     mesh = make_mesh({"x": 1})
 
     def run_sharded():
@@ -426,7 +426,7 @@ def bench_flock3d(n=71, agents=5, t_end=0.4):
         n_agents=agents, neigh_rad=2, v_e=5.0, v_p=5.0, w_bound=1.0)
     target = flock.payoff(grid, radius=5.0)
     tau = jnp.array([0.0, t_end], jnp.float32)
-    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False)
     mesh = make_mesh({"x": 1})
 
     def run_sharded():
@@ -485,7 +485,7 @@ def bench_replanning(n=51, horizon=1.0):
     system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
     ctrl = ReplanningController(
         grid, system, target, tau=jnp.linspace(0.0, horizon, 5),
-        cfg=SchemeConfig(accuracy="veryHigh", rk_order=2))
+        cfg=SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False))
 
     plan = ctrl.plan()  # compile + warm
     state = jnp.array([6.0, 2.0, np.pi / 2], jnp.float32)

@@ -165,7 +165,9 @@ def solve_sharded(
         halo-exchanged local blocks instead (see ``terms.hj_rhs``).
     """
     from ..derivatives import GHOST_WIDTH
+    from ..terms import resolve_pallas
 
+    cfg = resolve_pallas(cfg)   # use_pallas=None -> auto (TPU backend on)
     shard_axes = {int(k): v for k, v in shard_axes.items()}
     width = GHOST_WIDTH[cfg.accuracy]
     mesh_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))

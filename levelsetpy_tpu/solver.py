@@ -758,6 +758,9 @@ def solve(
     remote-execution links (this repo's axon tunnel) do not transport
     them (the same applies to ``progress=True``).
     """
+    from .terms import resolve_pallas
+
+    cfg = resolve_pallas(cfg)   # use_pallas=None -> auto (TPU backend on)
     op = _prep_operands(grid, system, v0, tau, cfg, comp_method, obstacles,
                         targets, discount_factor, discount_mode, stop_init,
                         stop_set_include, stop_set_intersect, stop_level,
@@ -897,6 +900,9 @@ def solve_batch(
         raise ValueError(
             f"system has {system.n_states} states but grid has "
             f"{grid.ndim} dims")
+    from .terms import resolve_pallas
+
+    cfg = resolve_pallas(cfg)   # use_pallas=None -> auto (TPU backend on)
     nd = grid.ndim
     v0 = jnp.asarray(v0)
     if v0.shape[:nd] != grid.shape or v0.ndim not in (nd, nd + 1):

@@ -25,6 +25,7 @@ central average → analytic/generic Hamiltonian → LF dissipation, and returns
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Literal, Sequence
 
 import jax
@@ -36,7 +37,7 @@ from .grid import Grid
 from .systems.base import System
 
 __all__ = ["SchemeConfig", "hj_rhs", "precompute_alpha", "AlphaBounds",
-           "GridOps", "local_ops", "batched_ops"]
+           "GridOps", "local_ops", "batched_ops", "resolve_pallas"]
 
 Dissipation = Literal["global", "local", "locallocal"]
 
@@ -123,13 +124,15 @@ class SchemeConfig:
     #: precomputed time-invariant bound, which cannot violate); each
     #: violating substep costs a host callback round trip.
     check_cfl: bool = False
-    #: route the RHS through the fused Pallas slab kernel when eligible
-    #: (3-D grid, WENO5, precomputed alphas, transverse planes fit VMEM —
-    #: see kernels/weno3d.py).  Ineligible configs fall back silently.
+    #: route the solve through the fused Pallas kernels when eligible
+    #: (see kernels/).  ``None`` (default) AUTO-DETECTS: True on a TPU
+    #: backend, False elsewhere — a plain ``solve`` on TPU gets the fused
+    #: substep kernels without any flag; ineligible configs fall back
+    #: silently either way.  Set True/False to force.
     #: (A packed-lane layout variant was A/B-tested 2026-08-19 and removed:
     #: its strided lane rotations cost more than the ~14% junk lanes they
     #: eliminated — 0.433 vs 0.302 ms/step on v5e at 101^3.)
-    use_pallas: bool = False
+    use_pallas: bool | None = None
 
     def deriv(self):
         return upwind_fn(self.accuracy)[0]
@@ -146,6 +149,28 @@ class AlphaBounds:
     alphas: tuple
     step_bound: jnp.ndarray
     widened: tuple | None = None
+
+
+@functools.lru_cache(maxsize=1)
+def _tpu_backend() -> bool:
+    """True when the default JAX backend is a TPU (incl. remote-attached
+    TPU platforms whose ``platform`` string differs — match device_kind
+    too)."""
+    try:
+        d = jax.devices()[0]
+    except Exception:  # pragma: no cover - uninitialized backends
+        return False
+    return ("tpu" in (getattr(d, "platform", "") or "").lower()
+            or "tpu" in (getattr(d, "device_kind", "") or "").lower())
+
+
+def resolve_pallas(cfg: "SchemeConfig") -> "SchemeConfig":
+    """Resolve ``use_pallas=None`` (auto) to a concrete bool: fused Pallas
+    kernels ON for TPU backends, OFF elsewhere.  Every solve entry point
+    calls this once, before the config enters any jit cache key."""
+    if cfg.use_pallas is None:
+        return dataclasses.replace(cfg, use_pallas=_tpu_backend())
+    return cfg
 
 
 def pallas_epsilon(grid: Grid, cfg, v_pad, ops) -> jnp.ndarray:

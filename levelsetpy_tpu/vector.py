@@ -282,8 +282,9 @@ def solve_vector(
     use_precomputed = tuple(
         s.alpha_time_invariant for s in systems)
 
-    from .terms import _batched
+    from .terms import _batched, resolve_pallas
 
+    cfg = resolve_pallas(cfg)   # use_pallas=None -> auto (TPU backend on)
     if cfg.use_pallas and _batched(systems, v0s, tau):
         cfg = dataclasses.replace(cfg, use_pallas=False)
 

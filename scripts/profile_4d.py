@@ -58,7 +58,7 @@ def main():
         float(jnp.sum(r.values))  # checksum fetch, not the 5.3 MB array
         return int(r.steps)
 
-    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False)
     for label, c in (("xla", cfg),
                      ("fused4d", SchemeConfig(accuracy="veryHigh",
                                               rk_order=2, use_pallas=True))):

@@ -148,7 +148,7 @@ def main():
                     print(f"B={nb} kernel-only {bx}x{by}x{lc}: FAILED "
                           f"{type(e).__name__}: {str(e)[:200]}", flush=True)
             continue
-        cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+        cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False)
         tx = per_rhs(cfg_x, nb, payload, "xla")
         for blk in args.blocks:
             parts = list(map(int, blk.split("x")))

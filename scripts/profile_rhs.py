@@ -110,7 +110,7 @@ def main():
         return lambda n, v: run(n, system, v, xs, ab.alphas, ab.step_bound)
 
     print(f"device={jax.devices()[0]}", file=sys.stderr)
-    cfg_x = SchemeConfig(accuracy="veryHigh")
+    cfg_x = SchemeConfig(accuracy="veryHigh", use_pallas=False)
     cfg_p = SchemeConfig(accuracy="veryHigh", use_pallas=True)
     print(f"xla    : {marginal_ms(runner(cfg_x, False)):8.3f} ms/RHS")
     print(f"pallas : {marginal_ms(runner(cfg_p, True)):8.3f} ms/RHS")

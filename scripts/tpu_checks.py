@@ -47,7 +47,7 @@ def accuracy_gate(shape=(51, 51, 51), t_end=0.5):
     system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
     res = solve(grid, system, jnp.asarray(v0, jnp.float32),
                 jnp.array([0.0, t_end], jnp.float32),
-                cfg=SchemeConfig(accuracy="veryHigh", rk_order=2),
+                cfg=SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False),
                 save_all=False)
     v_tpu = np.asarray(res.values[-1], np.float64)
     err = np.abs(v_tpu - v_ref).max()
@@ -170,7 +170,7 @@ def fused_epilogue(n=51, t_end=0.25):
     tau = jnp.array([0.0, t_end], jnp.float32)
     kw = dict(comp_method="minVWithL", targets=tgt, obstacles=obs,
               discount_factor=0.95, save_all=False)
-    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False)
     cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
     r1 = solve(grid, system, v, tau, cfg=cfg_x, **kw)
     r2 = solve(grid, system, v, tau, cfg=cfg_p, **kw)
@@ -191,7 +191,7 @@ def fused_epilogue_4d(shape=(24, 24, 16, 16), t_end=0.2):
     obs = sphere(grid, center=[1.0, 1.0, 0.0, 0.0], radius=0.5)
     system = PlanarDoubleIntegrator(u_max=1.0, d_max=0.2)
     tau = jnp.array([0.0, t_end], jnp.float32)
-    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False)
     cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
     r1 = solve(grid, system, v, tau, cfg=cfg_x, obstacles=obs,
                save_all=False)
@@ -216,7 +216,7 @@ def fused_epilogue_batch(n=31, B=128, t_end=0.2):
         v_p=5.0,
         w_bound=jnp.linspace(0.5, 2.0, B, dtype=jnp.float32))
     tau = jnp.array([0.0, t_end], jnp.float32)
-    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2)
+    cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False)
     cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
     r1 = solve_batch(grid, system, v, tau, cfg=cfg_x, obstacles=obs,
                      save_all=False)
@@ -237,7 +237,7 @@ def fused_neighbors_eps(n=51, t_end=0.25):
     system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
     tau = jnp.array([0.0, t_end], jnp.float32)
     cfg_x = SchemeConfig(accuracy="veryHigh", rk_order=2,
-                         epsilon_method="maxOverNeighbors")
+                         epsilon_method="maxOverNeighbors", use_pallas=False)
     cfg_p = SchemeConfig(accuracy="veryHigh", rk_order=2,
                          epsilon_method="maxOverNeighbors", use_pallas=True)
     r1 = solve(grid, system, v, tau, cfg=cfg_x, save_all=False)

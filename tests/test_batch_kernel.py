@@ -367,3 +367,24 @@ def test_batch_solve_max_over_neighbors(interpret_pallas):
     np.testing.assert_allclose(np.asarray(r2.values), np.asarray(r1.values),
                                atol=2e-5 * scale)
     assert int(r1.steps) == int(r2.steps)
+
+
+def test_batch_padding_with_epilogue(interpret_pallas):
+    """Arbitrary B + fused epilogue together: padded clone lanes must
+    carry the per-scenario gamma rows and obstacle operands correctly."""
+    Bn = 96
+    grid, target, obs, tgt, _ = _epilogue_setup()
+    system = DubinsRel(
+        v_e=jnp.linspace(3.0, 7.0, Bn, dtype=jnp.float32),
+        v_p=5.0,
+        w_bound=jnp.linspace(0.5, 2.0, Bn, dtype=jnp.float32))
+    gam = jnp.linspace(0.85, 0.99, Bn, dtype=jnp.float32)
+    tau = jnp.array([0.0, 0.1], jnp.float32)
+    r1 = solve_batch(grid, system, target, tau, cfg=CFG_XC,
+                     comp_method="minVWithL", targets=tgt, obstacles=obs,
+                     discount_factor=gam, save_all=False)
+    r2 = solve_batch(grid, system, target, tau, cfg=CFG_PC,
+                     comp_method="minVWithL", targets=tgt, obstacles=obs,
+                     discount_factor=gam, save_all=False)
+    assert r2.values.shape[-1] == Bn
+    _match(r1, r2)

@@ -476,3 +476,46 @@ class TestOnCheckpoint:
         assert ts == sorted(ts)
         for (t, v), expect in zip(snaps, np.asarray(res.values[1:])):
             np.testing.assert_array_equal(v, expect)
+
+
+class TestUsePallasAutoDefault:
+    """use_pallas=None (the default) auto-resolves: fused kernels ON for
+    TPU backends, OFF elsewhere; explicit True/False pass through."""
+
+    def test_resolves_false_on_cpu(self):
+        from levelsetpy_tpu.terms import resolve_pallas
+
+        cfg = SchemeConfig()
+        assert cfg.use_pallas is None
+        r = resolve_pallas(cfg)
+        assert r.use_pallas is False  # tests run on the CPU backend
+
+    def test_explicit_passthrough(self):
+        from levelsetpy_tpu.terms import resolve_pallas
+
+        for flag in (True, False):
+            cfg = SchemeConfig(use_pallas=flag)
+            assert resolve_pallas(cfg) is cfg
+
+    def test_detection_matches_device_kind(self, monkeypatch):
+        import levelsetpy_tpu.terms as T
+
+        class FakeDev:
+            platform = "axon"
+            device_kind = "TPU v5 lite0"
+
+        monkeypatch.setattr(T.jax, "devices", lambda: [FakeDev()])
+        T._tpu_backend.cache_clear()
+        try:
+            assert T._tpu_backend() is True
+        finally:
+            T._tpu_backend.cache_clear()
+
+    def test_default_solve_runs(self):
+        # a plain solve with the default (auto) config must work end to end
+        grid = create_grid([-1.0, -1.0], [1.0, 1.0], 21)
+        phi0 = sphere(grid, center=[0.0, 0.0], radius=0.3)
+        r = solve(grid, DoubleIntegrator(u_max=1.0), phi0,
+                  jnp.array([0.0, 0.1]),
+                  cfg=SchemeConfig(accuracy="medium", rk_order=2))
+        assert np.isfinite(np.asarray(r.values)).all()
