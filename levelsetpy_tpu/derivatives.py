@@ -62,8 +62,10 @@ __all__ = [
     "weno5_from_padded",
     "eno3b_from_padded",
     "weno5b_from_padded",
+    "weno5z_from_padded",
     "upwind_eno3b",
     "upwind_weno5b",
+    "upwind_weno5z",
     "weno5_candidates_from_padded",
     "self_check_derivatives",
     "padded_fn",
@@ -288,6 +290,42 @@ def upwind_weno5b(grid: Grid, data: jnp.ndarray, axis: int,
     g = pad_axis(grid, data, axis, 3)
     return weno5b_from_padded(grid.dx[axis], g, axis, data.shape[axis],
                               generate_all)
+
+
+def weno5z_from_padded(dx, gdata, axis: int, n: int):
+    """Fifth-order WENO-Z (Borges, Carmona, Costa & Don, JCP 2008): the
+    classic WENO5 candidates with Z-weights
+
+        alpha_k = w_k * (1 + tau5 / (S_k + eps)),   tau5 = |S_1 - S_3|,
+
+    which restore full 5th-order accuracy at smooth critical points and
+    are measurably less dissipative near shocks than the Jiang-Shu weights
+    — at the SAME stencil cost (one extra abs-difference per window).
+    Beyond the reference's surface (it ships only the Jiang-Shu 'a'/'b'
+    formulations); provided as accuracy name ``"weno5z"``.
+
+    Uses the direct per-side dataflow (like :func:`weno5b_from_padded`) —
+    the Z-weight ratio does not factor through the shared-table reversal
+    trick, and 2-D/3-D production solves should use the kernelised
+    ``weno5`` anyway."""
+    eps = float(jnp.finfo(gdata.dtype).eps) ** 2
+
+    def one_side(side):
+        vs = _vterms_direct(dx, gdata, axis, n, side)
+        phis = _candidates(*vs)
+        s1, s2, s3 = _smoothness(*vs)
+        tau5 = jnp.abs(s1 - s3)
+        a1 = 0.1 * (1.0 + tau5 / (s1 + eps))
+        a2 = 0.6 * (1.0 + tau5 / (s2 + eps))
+        a3 = 0.3 * (1.0 + tau5 / (s3 + eps))
+        return (a1 * phis[0] + a2 * phis[1] + a3 * phis[2]) / (a1 + a2 + a3)
+
+    return one_side("L"), one_side("R")
+
+
+def upwind_weno5z(grid: Grid, data: jnp.ndarray, axis: int):
+    g = pad_axis(grid, data, axis, 3)
+    return weno5z_from_padded(grid.dx[axis], g, axis, data.shape[axis])
 
 
 def weno5_candidates_from_padded(dx, gdata, axis: int, n: int):
@@ -556,12 +594,15 @@ _SCHEMES["eno3a"] = _SCHEMES["eno3"]
 _SCHEMES["weno5a"] = _SCHEMES["weno5"]
 _SCHEMES["eno3b"] = (upwind_eno3b, 3)
 _SCHEMES["weno5b"] = (upwind_weno5b, 3)
+_SCHEMES["weno5z"] = (upwind_weno5z, 3)
 _PADDED["eno3a"] = _PADDED["eno3"]
 _PADDED["weno5a"] = _PADDED["weno5"]
 _PADDED["eno3b"] = eno3b_from_padded
 _PADDED["weno5b"] = weno5b_from_padded
+_PADDED["weno5z"] = weno5z_from_padded
 DERIV_ORDER["eno3b"] = 3
 DERIV_ORDER["weno5b"] = 5
+DERIV_ORDER["weno5z"] = 5
 
 
 def check_equivalent_approx(approx1, approx2, bound, name="approximations"):

@@ -315,3 +315,54 @@ def test_b_formulations_solve_end_to_end():
     np.testing.assert_allclose(vb, va, atol=1e-6 * scale)
     # eno3b is a different (3rd-order) selection rule: close, not equal
     assert np.abs(ve - va).max() < 0.05 * scale
+
+
+def test_weno5z_order_and_critical_point():
+    """WENO-Z (Borges et al. 2008): 5th order on smooth data AND full
+    order at smooth critical points (where classic Jiang-Shu weights
+    degrade to 3rd order), kink-safe, and a working solver accuracy
+    name."""
+    from levelsetpy_tpu.derivatives import upwind_weno5z, upwind_weno5
+
+    errs = [smooth_error(upwind_weno5z, n) for n in (40, 80)]
+    order = np.log2(errs[0] / errs[1])
+    assert order > 4.5, (errs, order)
+
+    # critical point: u = sin^2(x) has du=0 at x=0,pi/2,...; measure the
+    # max error NEAR the critical points where classic WENO5 loses order
+    def crit_err(fn, n):
+        g = periodic_grid_1d(n)
+        x = g.coord(0, jnp.float64)
+        u = jnp.sin(x) ** 3          # u' = 3 sin^2 cos: double zero at 0
+        du = 3 * jnp.sin(x) ** 2 * jnp.cos(x)
+        dl, dr = fn(g, u, 0)
+        d = 0.5 * (dl + dr)
+        near = np.abs(np.sin(np.asarray(x))) < 0.2
+        return float(np.abs(np.asarray(d - du))[near].max())
+
+    ez = [crit_err(upwind_weno5z, n) for n in (40, 80)]
+    order_z = np.log2(ez[0] / ez[1])
+    ea = [crit_err(upwind_weno5, n) for n in (40, 80)]
+    order_a = np.log2(ea[0] / ea[1])
+    # Z restores near-design order at the critical point; classic drops
+    assert order_z > 3.8, (ez, order_z)
+    assert ez[1] < ea[1], (ez, ea)  # and is more accurate there
+
+    # kink-safe (non-oscillatory)
+    g = create_grid([-1.0], [1.0], 81)
+    x = g.coord(0, jnp.float64)
+    dl, dr = upwind_weno5z(g, jnp.abs(x), 0)
+    assert float(jnp.max(jnp.abs(dl))) < 1.0 + 1e-6
+    assert float(jnp.max(jnp.abs(dr))) < 1.0 + 1e-6
+
+    # solver surface
+    import jax.numpy as jnp2
+    from levelsetpy_tpu import (DoubleIntegrator, SchemeConfig, create_grid
+                                as cg, solve, sphere)
+
+    gg = cg([-1.0, -1.0], [1.0, 1.0], 31)
+    r = solve(gg, DoubleIntegrator(u_max=1.0),
+              sphere(gg, center=[0.0, 0.0], radius=0.3),
+              jnp2.array([0.0, 0.1]),
+              cfg=SchemeConfig(accuracy="weno5z", rk_order=2))
+    assert np.isfinite(np.asarray(r.values)).all()
