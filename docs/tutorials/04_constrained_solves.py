@@ -8,7 +8,8 @@ keeps the unconstrained kernel's per-step cost.  Work through it:
 
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python docs/tutorials/04_constrained_solves.py
 
-(drop the env prefix to run on an attached TPU; add use_pallas=True there).
+(drop the env prefix to run on an attached TPU — the fused kernels
+auto-enable there; SchemeConfig(use_pallas=False) forces the XLA path).
 """
 import pathlib
 import sys
@@ -69,15 +70,13 @@ print("discounted solves finite:",
            and np.isfinite(np.asarray(kene.values)).all()))
 
 # ------------------------------------------- everything, fused, on TPU
-# On a TPU, add use_pallas=True: the comp method, the discount blend AND
-# the obstacle mask all run inside the fused RK-substep kernel (extra DMA
-# operand streams — kernels/hjstep.py Epilogue), so this constrained solve
-# costs the same per step as the plain one (bench_all
-# rocket4d_fused_obstacle row: 0.99x of unconstrained).  On CPU the flag
-# needs interpret mode, so we just show the call:
-cfg_tpu = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
-print("TPU call: solve(grid, system, target, tau, cfg=cfg_tpu, "
-      "obstacles=..., targets=..., discount_factor=...)")
+# On a TPU backend the fused kernels are AUTOMATIC (use_pallas=None
+# auto-detects): the comp method, the discount blend AND the obstacle mask
+# all run inside the fused RK-substep kernel (extra DMA operand streams —
+# kernels/hjstep.py Epilogue), so a constrained solve costs the same per
+# step as the plain one (bench_all: air3d obstacle 0.97x, rocket4d
+# obstacle 0.99x of unconstrained).  On CPU the kernels need interpret
+# mode, so this script's solves ran the XLA path automatically.
 
 # epsilon_method='maxOverNeighbors' makes the WENO epsilon node-local —
 # under solve_sharded that deletes the last per-substep cross-shard
