@@ -26,7 +26,7 @@ from typing import Mapping
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..boundary import pad_axis
 from ..grid import Grid

@@ -23,7 +23,11 @@ EXACTLY the per-field ``solve`` outputs (the shared dt is the same bound);
 tests assert this and exercise a coupled reach-avoid case on the sharded
 path.  Scope note: convergence/NaN guards reduce over all fields; the
 single-field-only extras (stopInit/stopSet, discounting, TTR) stay on
-``solve``.
+``solve``.  Kernel note: with ``use_pallas`` each field's RHS routes
+through the fused Pallas RHS kernel, but NOT the persistent-layout
+substep kernel — the coupling hook consumes grid-shaped fields after
+every RK step, and the per-step lift/lower relayouts that would require
+cost about what the substep fusion saves.
 """
 from __future__ import annotations
 

@@ -173,7 +173,6 @@ def test_flock_fused_step_alpha_operands(monkeypatch):
     """Flock routes through the fused RK-substep kernel with PRECOMPUTED
     alpha DMA operands (VERDICT r3 #2, alpha_via_operands=True) and must
     match the XLA path."""
-    import pytest
     from jax.experimental import pallas as pl
 
     orig = pl.pallas_call
