@@ -21,6 +21,8 @@ __all__ = [
     "plot_zero_contour",
     "plot_isosurface",
     "plot_value_dashboard",
+    "plot_grid",
+    "plot_function_image",
 ]
 
 
@@ -92,6 +94,93 @@ def plot_isosurface(grid, phi, level=0.0, ax=None, **kw):
     ax.set_xlim(grid.lo[0], grid.hi[0])
     ax.set_ylim(grid.lo[1], grid.hi[1])
     ax.set_zlim(grid.lo[2], grid.hi[2])
+    return ax
+
+
+def plot_grid(grids, ax=None, colors=None, annotate=False):
+    """Grid-inspection plot (ref ``visualizer.py:71`` ``visGrid``): node
+    layout + bounding box for one :class:`Grid` or a sequence (e.g. the
+    cells from :func:`decompose.split_grid`).
+
+    1-D grids plot their nodes on a line, 2-D grids scatter the node
+    lattice inside the bounding rectangle, 3-D grids draw a wireframe of
+    the node lattice, and >3-D grids project onto the first two axes
+    (matching the reference's ``dim>3`` branch).  Returns the axis.
+    """
+    import numpy as np
+
+    plt = _mpl()
+    if not isinstance(grids, (list, tuple)):
+        grids = [grids]
+    ndim = grids[0].ndim
+    if colors is None:
+        colors = ["tab:blue", "tab:red", "tab:olive", "tab:orange",
+                  "tab:green", "black"]
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d" if ndim == 3 else None)
+
+    def _box2d(g, c):
+        lo = np.asarray(g.lo)[:2]
+        hi = np.asarray(g.hi)[:2]
+        xs = [lo[0], hi[0], hi[0], lo[0], lo[0]]
+        ys = [lo[1], lo[1], hi[1], hi[1], lo[1]]
+        ax.plot(xs, ys, "-", color=c, linewidth=1.0)
+
+    for i, g in enumerate(grids):
+        c = colors[i % len(colors)]
+        axes = [np.linspace(g.lo[d], g.hi[d], g.shape[d])
+                for d in range(ndim)]
+        if ndim == 1:
+            ax.plot(axes[0], np.zeros_like(axes[0]), ".", color=c)
+            ax.plot([g.lo[0], g.hi[0]], [0.0, 0.0], "-", color=c)
+        elif ndim == 3:
+            xx, yy, zz = np.meshgrid(*axes, indexing="ij")
+            stride = max(1, g.shape[0] // 10)
+            ax.plot_wireframe(xx[:, :, 0], yy[:, :, 0], zz[:, :, 0],
+                              rstride=stride, cstride=stride, color=c)
+            ax.set_zlabel("z")
+        else:  # 2-D, or >3-D projected onto the first two axes
+            xx, yy = np.meshgrid(axes[0], axes[1], indexing="ij")
+            ax.plot(xx.ravel(), yy.ravel(), ".", color=c, markersize=2)
+            _box2d(g, c)
+        if annotate and ndim >= 2:
+            ax.annotate(f"cell {i}", xy=(float(g.lo[0]), float(g.lo[1])),
+                        size=10, color=c)
+    ax.set_xlabel("x")
+    if ndim >= 2:
+        ax.set_ylabel("y")
+    ax.set_title(f"{len(grids)}-cell / {ndim}-D grid")
+    return ax
+
+
+def plot_function_image(grid, values, ax=None, **kw):
+    """Function-image plot (ref ``visualizer.py:177`` ``visFuncIm``): a
+    line plot of ``values`` over a 1-D grid or a surface plot over a 2-D
+    grid.  Returns the axis."""
+    import numpy as np
+
+    plt = _mpl()
+    values = np.asarray(values)
+    if grid.ndim == 1:
+        if ax is None:
+            _, ax = plt.subplots()
+        x = np.linspace(grid.lo[0], grid.hi[0], grid.shape[0])
+        ax.plot(x, values.ravel(), linewidth=2, **kw)
+    elif grid.ndim == 2:
+        if ax is None:
+            fig = plt.figure()
+            ax = fig.add_subplot(projection="3d")
+        x = np.linspace(grid.lo[0], grid.hi[0], grid.shape[0])
+        y = np.linspace(grid.lo[1], grid.hi[1], grid.shape[1])
+        xx, yy = np.meshgrid(x, y, indexing="ij")
+        kw.setdefault("cmap", "coolwarm")
+        ax.plot_surface(xx, yy, values, linewidth=0, antialiased=False,
+                        **kw)
+    else:
+        raise ValueError(
+            "plot_function_image handles 1-D and 2-D grids; project "
+            "higher-dimensional values first (values.proj)")
     return ax
 
 

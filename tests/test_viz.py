@@ -90,3 +90,48 @@ class TestAnimate:
                     cfg=SchemeConfig(accuracy="eno2", rk_order=2))
         out = animate(g, res, tmp_path / "proj.gif", proj_axes=(0, 1))
         assert out.read_bytes()[:6] in (b"GIF87a", b"GIF89a")
+
+
+class TestInspectionPlots:
+    """visGrid / visFuncIm parity (ref Visualization/visualizer.py:71,177)."""
+
+    def test_plot_grid_dims(self):
+        from levelsetpy_tpu.decompose import split_grid_same_dim
+        from levelsetpy_tpu.viz import plot_grid
+
+        g1 = create_grid([0.0], [1.0], 11)
+        ax = plot_grid(g1)
+        assert ax.get_title().startswith("1-cell / 1-D")
+
+        g2 = create_grid([-1.0, -1.0], [1.0, 1.0], 9)
+        cells = split_grid_same_dim(g2, [[-1.0, 0.0, 1.0],
+                                         [-1.0, 0.0, 1.0]])
+        ax = plot_grid(cells, annotate=True)
+        assert "4-cell / 2-D" in ax.get_title()
+
+        g3 = create_grid([0, 0, 0], [1, 1, 1], 7)
+        ax = plot_grid(g3)
+        assert ax.name == "3d"
+
+        g4 = create_grid([0, 0, 0, 0], [1, 1, 1, 1], 5)
+        ax = plot_grid(g4)  # >3-D projects onto the first two axes
+        assert "4-D" in ax.get_title()
+
+    def test_plot_function_image(self):
+        import pytest
+
+        from levelsetpy_tpu.viz import plot_function_image
+
+        g1 = create_grid([0.0], [1.0], 21)
+        v1 = np.linspace(0, 1, 21) ** 2
+        ax = plot_function_image(g1, v1)
+        assert len(ax.lines) == 1
+
+        g2 = create_grid([-1.0, -1.0], [1.0, 1.0], 17)
+        phi = np.asarray(sphere(g2, radius=0.5, dtype=jnp.float64))
+        ax = plot_function_image(g2, phi)
+        assert ax.name == "3d"
+
+        g3 = create_grid([0, 0, 0], [1, 1, 1], 5)
+        with pytest.raises(ValueError, match="1-D and 2-D"):
+            plot_function_image(g3, np.zeros((5, 5, 5)))
