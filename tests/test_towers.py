@@ -101,6 +101,48 @@ class TestPOD:
         vr, _ = pod_basis(x, r=3)
         assert float(projection_error(x, vr)) < 1e-10
 
+    def test_randomized_svd_subspace_angles_on_solve_snapshots(self):
+        """Halko sketch vs dense SVD on a REAL solve snapshot matrix
+        (VERDICT r4 #7: top-k subspace angles must agree)."""
+        import jax.numpy as jnp
+
+        from levelsetpy_tpu import (DubinsRel, SchemeConfig, create_grid,
+                                    cylinder, solve)
+        from levelsetpy_tpu.pod import pod_basis, randomized_svd
+
+        g = create_grid([-6, -10, 0], [20, 10, 2 * np.pi], 15,
+                        periodic_dims=[2])
+        target = cylinder(g, ignore_axes=[2], radius=5.0,
+                          dtype=jnp.float64)
+        res = solve(g, DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0), target,
+                    tau=jnp.linspace(0.0, 0.6, 13),
+                    cfg=SchemeConfig(accuracy="eno2", rk_order=2))
+        x = jnp.stack([v.ravel() for v in res.values], axis=1)  # n x 13
+        k = 5
+        v_dense, s_dense = pod_basis(x, r=k)
+        v_rand, s_rand = pod_basis(x, r=k, method="randomized")
+        # principal angles between the two k-dim subspaces: all ~0
+        cos = np.linalg.svd(np.asarray(v_dense.T @ v_rand),
+                            compute_uv=False)
+        assert cos.min() > 1 - 1e-8, cos
+        np.testing.assert_allclose(s_rand, s_dense[:k], rtol=1e-8)
+        # direct API + orthonormality
+        u, s, vt = randomized_svd(x, k)
+        np.testing.assert_allclose(u.T @ u, np.eye(k), atol=1e-10)
+        recon = u @ (s[:, None] * vt)
+        proj = np.asarray(v_dense @ (v_dense.T @ x))
+        np.testing.assert_allclose(recon, proj, atol=1e-7)
+
+    def test_randomized_requires_rank(self):
+        import pytest
+
+        from levelsetpy_tpu.pod import pod_basis
+
+        with pytest.raises(ValueError, match="rank r"):
+            pod_basis(jnp.zeros((8, 4)), energy=0.9, method="randomized")
+        with pytest.raises(ValueError, match="unknown POD method"):
+            pod_basis(jnp.zeros((8, 4)), r=2, method="magic")
+
     def test_solver_l2_matches_lstsq_at_zero_reg(self):
         rng = np.random.default_rng(6)
         a = jnp.asarray(rng.standard_normal((12, 4)))
