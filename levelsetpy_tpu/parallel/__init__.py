@@ -1,3 +1,4 @@
+from .batch import solve_batch_sharded
 from .distributed import (init_distributed, make_global_mesh,
                           make_process_local_array, process_block_slices,
                           sharded_initial_condition)
@@ -7,6 +8,7 @@ from .solver import (local_coords, local_grid, make_mesh, shard_ops,
 from .vector import solve_vector_sharded
 
 __all__ = [
+    "solve_batch_sharded",
     "solve_vector_sharded",
     "halo_exchange_axis",
     "pad_axis_sharded",
