@@ -21,13 +21,20 @@ fields through the tau-checkpoint scan + CFL while-loop with
 Where fields do not interact (no coupling) and share a system, results are
 EXACTLY the per-field ``solve`` outputs (the shared dt is the same bound);
 tests assert this and exercise a coupled reach-avoid case on the sharded
-path.  Scope note: convergence/NaN guards reduce over all fields; the
-single-field-only extras (stopInit/stopSet, discounting, TTR) stay on
-``solve``.  Kernel note: with ``use_pallas`` each field's RHS routes
-through the fused Pallas RHS kernel, but NOT the persistent-layout
-substep kernel — the coupling hook consumes grid-shaped fields after
-every RK step, and the per-step lift/lower relayouts that would require
-cost about what the substep fusion saves.
+path.  Full front-door parity with the single-field ``solve`` (VERDICT r4
+#5): per-field Jaime/Kene discounting, per-field time-varying
+obstacle/target stacks, per-field TTR recording, and stopInit/stopSet —
+the stop predicates evaluate on ONE designated field (``stop_field``,
+default 0: the reach field in a reach-avoid pair), since the reference's
+stop criteria are defined on a single value function
+(``hji_solver.py:250-266,676-703``) while its ``odeCFL3`` vector state
+machinery carries no stop semantics of its own (``ode_cfl_3.py:104-136``).
+Convergence/NaN guards reduce over all fields.  Kernel note: with
+``use_pallas`` each field's RHS routes through the fused Pallas RHS
+kernel, but NOT the persistent-layout substep kernel — the coupling hook
+consumes grid-shaped fields after every RK step, and the per-step
+lift/lower relayouts that would require cost about what the substep
+fusion saves.
 """
 from __future__ import annotations
 
@@ -53,6 +60,8 @@ class VectorSolveResult(NamedTuple):
     changes: jnp.ndarray     # (T-1, n_fields) max|dV| per interval/field
     steps: jnp.ndarray       # total RK steps taken (shared loop)
     nan_index: jnp.ndarray   # first bad interval (-1 if finite throughout)
+    stop_index: jnp.ndarray | None = None  # first stopped tau interval
+    ttr: tuple | None = None               # per field: (*grid.shape)
 
 
 def _solve_vector_core(
@@ -72,6 +81,18 @@ def _solve_vector_core(
     save_all: bool,
     use_precomputed: tuple,      # per field bool
     nan_guard: bool,
+    obstacles_tv: tuple = None,  # per field: True for (T, *grid) stacks
+    targets_tv: tuple = None,
+    gammas: tuple = None,        # per field: traced scalar (1.0 placeholder)
+    has_discount: tuple = None,  # per field bool
+    discount_modes: tuple = None,  # per field "Jaime" | "Kene"
+    record_ttr: bool = False,
+    stop_state=None,             # None or state vector for stopInit
+    stop_field: int = 0,         # field the stop predicates evaluate on
+    stop_set=None,               # None or grid-shaped implicit set
+    stop_set_mode=None,          # "include" | "intersect"
+    stop_level=0.0,
+    eval_fn: Callable | None = None,
     pallas_grid: Grid | None = None,
     pallas_origin=None,
 ):
@@ -83,6 +104,21 @@ def _solve_vector_core(
     dtype = v0s[0].dtype
     small_scale = 100.0 * jnp.finfo(dtype).eps
     pgrid = pallas_grid if pallas_grid is not None else grid
+    if obstacles_tv is None:
+        obstacles_tv = (False,) * n_f
+    if targets_tv is None:
+        targets_tv = (False,) * n_f
+    if has_discount is None:
+        has_discount = (False,) * n_f
+    if discount_modes is None:
+        discount_modes = ("Jaime",) * n_f
+    if gammas is None:
+        gammas = (jnp.asarray(1.0, dtype),) * n_f
+    if eval_fn is None:
+        from .values import eval_u
+
+        def eval_fn(v, state):
+            return eval_u(grid, v, state)
 
     alpha_bounds = []
     for k in range(n_f):
@@ -107,56 +143,99 @@ def _solve_vector_core(
             bound = bk if bound is None else jnp.minimum(bound, bk)
         return tuple(dots), bound
 
-    def apply_comp(k, v, v_last):
+    def apply_comp(k, v, v_last, tgt_k):
+        """Single-field comp + discounting semantics per field (mirrors
+        ``solver._solve_core.apply_comp`` exactly, incl. the Kene
+        shift-scale replacing the comp, ref ``hji_solver.py:613-638``)."""
         cm = comp_methods[k]
+        if has_discount[k] and discount_modes[k] == "Kene":
+            max_val = ops.reduce_max(jnp.abs(tgt_k))
+            vt = (v - max_val) * gammas[k]
+            tt = tgt_k - max_val
+            if cm == "maxVWithL":
+                vt = jnp.maximum(vt, tt)
+            else:  # minVWithL (validated upstream)
+                vt = jnp.minimum(vt, tt)
+            return vt + max_val
         if cm == "minVOverTime":
-            return jnp.minimum(v, v_last)
-        if cm == "maxVOverTime":
-            return jnp.maximum(v, v_last)
-        if cm == "minVWithV0":
-            return jnp.minimum(v, v0s[k])
-        if cm == "maxVWithV0":
-            return jnp.maximum(v, v0s[k])
-        if cm == "minVWithL":
-            return jnp.minimum(v, targets[k])
-        if cm == "maxVWithL":
-            return jnp.maximum(v, targets[k])
-        return v                       # 'none'/'set'/'zero'
+            v = jnp.minimum(v, v_last)
+        elif cm == "maxVOverTime":
+            v = jnp.maximum(v, v_last)
+        elif cm == "minVWithV0":
+            v = jnp.minimum(v, v0s[k])
+        elif cm == "maxVWithV0":
+            v = jnp.maximum(v, v0s[k])
+        elif cm == "minVWithL":
+            v = jnp.minimum(v, tgt_k)
+        elif cm == "maxVWithL":
+            v = jnp.maximum(v, tgt_k)
+        # 'none'/'set'/'zero': nothing here
+        if has_discount[k] and discount_modes[k] != "Kene":
+            base = tgt_k if targets[k] is not None else v0s[k]
+            v = gammas[k] * v + (1.0 - gammas[k]) * base
+        return v
 
-    def post_step(t, vs, vs_prev):
-        vs = tuple(apply_comp(k, vs[k], vs_prev[k]) for k in range(n_f))
+    def post_step(t, vs, vs_prev, obs_i, tgt_i):
+        vs = tuple(apply_comp(k, vs[k], vs_prev[k], tgt_i[k])
+                   for k in range(n_f))
         vs = tuple(
-            vs[k] if obstacles[k] is None
-            else jnp.maximum(vs[k], -obstacles[k]) for k in range(n_f))
+            vs[k] if obs_i[k] is None
+            else jnp.maximum(vs[k], -obs_i[k]) for k in range(n_f))
         if coupling is not None:
             vs = tuple(coupling(t, vs, vs_prev))
         return vs
 
     from .integration import cfl_step
 
+    inf = jnp.asarray(jnp.inf, dtype)
+    ttr0 = (tuple(jnp.where(v <= 0, jnp.zeros_like(v), inf) for v in v0s)
+            if record_ttr else tuple(jnp.zeros((), dtype) for _ in v0s))
+
     def interval(carry, i):
-        vs_in, done, steps = carry
+        vs_in, done, steps, ttr_in = carry
         t0, t1 = tau[i], tau[i + 1]
         small = small_scale * jnp.abs(t1)
+        obs_i = tuple(
+            None if obstacles[k] is None
+            else (obstacles[k][i + 1] if obstacles_tv[k] else obstacles[k])
+            for k in range(n_f))
+        tgt_i = tuple(
+            (jnp.zeros((), dtype) if targets[k] is None
+             else (targets[k][i + 1] if targets_tv[k] else targets[k]))
+            for k in range(n_f))
 
-        def do(vs):
+        def do(vs, ttr):
             def cond(c):
-                t, _, _ = c
+                t, _, _, _ = c
                 return t < t1 - small
 
             def body(c):
-                t, vs, n = c
+                t, vs, n, ttr = c
                 t_new, vs_new = cfl_step(rhs, t, vs, t1, cfg.factor_cfl,
                                          cfg.rk_order, cfg.max_step)
-                vs_new = post_step(t_new, vs_new, vs)
-                return t_new, vs_new, n + 1
+                vs_new = post_step(t_new, vs_new, vs, obs_i, tgt_i)
+                if record_ttr:
+                    # per-field first-crossing time, measured on the final
+                    # post-step fields (comp/obstacle/coupling applied),
+                    # same interpolation as solve (ref post_ttr.py:8)
+                    def cross(v_last, v, tk):
+                        crossed = (v_last > 0) & (v <= 0) & jnp.isinf(tk)
+                        frac = v_last / jnp.where(v_last != v, v_last - v,
+                                                  1.0)
+                        return jnp.where(crossed,
+                                         t + (t_new - t) * frac, tk)
 
-            _, vs, n = jax.lax.while_loop(
-                cond, body, (t0, vs, jnp.zeros((), jnp.int32)))
-            return vs, n
+                    ttr = tuple(cross(vs[k], vs_new[k], ttr[k])
+                                for k in range(n_f))
+                return t_new, vs_new, n + 1, ttr
 
-        vs_new, n_steps = jax.lax.cond(
-            done, lambda vs: (vs, jnp.zeros((), jnp.int32)), do, vs_in)
+            _, vs, n, ttr = jax.lax.while_loop(
+                cond, body, (t0, vs, jnp.zeros((), jnp.int32), ttr))
+            return vs, n, ttr
+
+        vs_new, n_steps, ttr_new = jax.lax.cond(
+            done, lambda vs, ttr: (vs, jnp.zeros((), jnp.int32), ttr),
+            do, vs_in, ttr_in)
         change = jnp.stack([
             ops.reduce_max(jnp.abs(vs_new[k] - vs_in[k]))
             for k in range(n_f)])
@@ -167,29 +246,62 @@ def _solve_vector_core(
             bad = ~jnp.isfinite(jnp.max(change)) & ~done
             vs_new = tuple(
                 jnp.where(bad, vs_in[k], vs_new[k]) for k in range(n_f))
+            if record_ttr:
+                ttr_new = tuple(
+                    jnp.where(bad, ttr_in[k], ttr_new[k])
+                    for k in range(n_f))
             new_done = new_done | bad
         if converge_threshold is not None:
             new_done = new_done | (jnp.max(change) < converge_threshold)
+        if stop_state is not None:
+            init_val = eval_fn(vs_new[stop_field], stop_state)
+            new_done = new_done | (init_val <= 0)
+        if stop_set is not None:
+            # same masked-reduction predicates as solve
+            # (ref hji_solver.py:250-266,687-703), on the stop_field
+            region = stop_set < 0
+            vf = vs_new[stop_field]
+            if stop_set_mode == "include":
+                worst = ops.reduce_max(jnp.where(region, vf, -jnp.inf))
+            else:
+                worst = ops.reduce_min(jnp.where(region, vf, jnp.inf))
+            new_done = new_done | (worst <= stop_level)
 
         out = vs_new if save_all else None
-        return (vs_new, new_done, steps + n_steps), (out, change, bad)
+        # record the PRE-update done flag (matches solver._solve_core's
+        # stop_index convention: the first interval entered already-done)
+        return (vs_new, new_done, steps + n_steps, ttr_new), \
+            (out, change, done, bad)
 
-    (vs_fin, _, steps), (vs_stack, changes, was_bad) = jax.lax.scan(
-        interval, (v0s, jnp.zeros((), jnp.bool_), jnp.zeros((), jnp.int32)),
-        jnp.arange(n_tau - 1))
+    (vs_fin, _, steps, ttr_fin), (vs_stack, changes, was_done, was_bad) = \
+        jax.lax.scan(
+            interval,
+            (v0s, jnp.zeros((), jnp.bool_), jnp.zeros((), jnp.int32),
+             ttr0),
+            jnp.arange(n_tau - 1))
     nan_index = jnp.where(jnp.any(was_bad), jnp.argmax(was_bad),
                           jnp.int32(-1)).astype(jnp.int32)
+    stop_index = jnp.where(jnp.any(was_done), jnp.argmax(was_done),
+                           n_tau - 1)
     if save_all:
         values = tuple(
             jnp.concatenate([v0s[k][None], vs_stack[k]], axis=0)
             for k in range(n_f))
     else:
         values = tuple(v[None] for v in vs_fin)
-    return values, changes, steps, nan_index
+    return values, changes, steps, nan_index, stop_index, \
+        (ttr_fin if record_ttr else None)
 
 
-def _norm_fields(grid, systems, v0s, comp_methods, obstacles, targets):
-    """Validate + normalize the per-field inputs to tuples."""
+def _norm_fields(grid, systems, v0s, comp_methods, obstacles, targets,
+                 n_tau=None):
+    """Validate + normalize the per-field inputs to tuples.
+
+    Returns ``(systems, v0s, comp_methods, obstacles, targets,
+    obstacles_tv, targets_tv)`` — the ``*_tv`` tuples flag per-field
+    time-varying ``(n_tau, *grid)`` operand stacks (accepted when ``n_tau``
+    is passed; ref ``hji_solver.py:209-228,641-644`` per-tau semantics).
+    """
     v0s = tuple(jnp.asarray(v) for v in v0s)
     n_f = len(v0s)
     if isinstance(systems, System):
@@ -212,44 +324,101 @@ def _norm_fields(grid, systems, v0s, comp_methods, obstacles, targets):
 
     def norm(x, name):
         if x is None:
-            return (None,) * n_f
+            return (None,) * n_f, (False,) * n_f
         x = tuple(x)
         if len(x) != n_f:
             raise ValueError(f"{name} must have one entry per field")
-        out = []
+        out, tv = [], []
         for a in x:
+            is_tv = False
             if a is not None:
                 a = jnp.asarray(a, v0s[0].dtype)
-                if a.shape != grid.shape:
+                if n_tau is not None and a.shape == (n_tau, *grid.shape):
+                    is_tv = True
+                elif a.shape != grid.shape:
                     raise ValueError(
-                        f"{name} entries must be grid-shaped (static); "
-                        "time-varying stacks are single-field solve only")
+                        f"{name} entries must be grid-shaped or "
+                        f"(n_tau, *grid) per-tau stacks; got {a.shape}")
             out.append(a)
-        return tuple(out)
+            tv.append(is_tv)
+        return tuple(out), tuple(tv)
 
-    obstacles = norm(obstacles, "obstacles")
-    targets = norm(targets, "targets")
+    obstacles, obstacles_tv = norm(obstacles, "obstacles")
+    targets, targets_tv = norm(targets, "targets")
     for cm, tg in zip(comp_methods, targets):
         if cm in ("minVWithL", "maxVWithL") and tg is None:
             raise ValueError(f"{cm} requires a target for that field")
     v0s = tuple(
-        v if ob is None else jnp.maximum(v, -ob)
-        for v, ob in zip(v0s, obstacles))
-    return systems, v0s, comp_methods, obstacles, targets
+        v if ob is None
+        else jnp.maximum(v, -(ob[0] if tv else ob))
+        for v, ob, tv in zip(v0s, obstacles, obstacles_tv))
+    return (systems, v0s, comp_methods, obstacles, targets,
+            obstacles_tv, targets_tv)
+
+
+def _norm_discount(n_f, comp_methods, targets, discount_factors,
+                   discount_modes, dtype):
+    """Per-field discount validation; returns (gammas, has_discount,
+    modes) with the single-field ``solve`` rules applied per field."""
+    if discount_factors is None:
+        factors = (None,) * n_f
+    elif jnp.ndim(discount_factors) == 0 and not isinstance(
+            discount_factors, (list, tuple)):
+        factors = (discount_factors,) * n_f
+    else:
+        factors = tuple(discount_factors)
+        if len(factors) != n_f:
+            raise ValueError(
+                "discount_factors must be scalar or one entry per field")
+    if isinstance(discount_modes, str):
+        modes = (discount_modes,) * n_f
+    else:
+        modes = tuple(discount_modes)
+        if len(modes) != n_f:
+            raise ValueError(
+                "discount_modes must be a string or one entry per field")
+    has = tuple(f is not None for f in factors)
+    for k in range(n_f):
+        if not has[k]:
+            continue
+        if modes[k] == "Kene":
+            if targets[k] is None:
+                raise ValueError(
+                    f"field {k}: Kene discounting requires a target")
+            if comp_methods[k] not in ("minVWithL", "maxVWithL"):
+                raise ValueError(
+                    f"field {k}: Kene discounting supports only "
+                    "minVWithL/maxVWithL comp methods")
+        elif modes[k] != "Jaime":
+            raise ValueError(f"unknown discount mode {modes[k]!r}")
+    gammas = tuple(
+        jnp.asarray(f if f is not None else 1.0, dtype) for f in factors)
+    return gammas, has, modes
 
 
 @functools.lru_cache(maxsize=32)
 def _cached_vector_run(grid, cfg, comp_methods, n_f, has_obs, has_tgt,
                        coupling, converge_threshold, save_all,
-                       use_precomputed, nan_guard):
+                       use_precomputed, nan_guard,
+                       obstacles_tv=None, targets_tv=None,
+                       has_discount=None, discount_modes=None,
+                       record_ttr=False, has_stop_state=False,
+                       stop_field=0, stop_set_mode=None):
     @jax.jit
-    def run(systems, v0s, tau, xs, obstacles, targets):
+    def run(systems, v0s, tau, xs, obstacles, targets, gammas,
+            stop_state, stop_set, stop_level):
         return _solve_vector_core(
             grid=grid, cfg=cfg, comp_methods=comp_methods, systems=systems,
             v0s=v0s, tau=tau, xs=xs, ops=local_ops(grid),
             targets=targets, obstacles=obstacles, coupling=coupling,
             converge_threshold=converge_threshold, save_all=save_all,
-            use_precomputed=use_precomputed, nan_guard=nan_guard)
+            use_precomputed=use_precomputed, nan_guard=nan_guard,
+            obstacles_tv=obstacles_tv, targets_tv=targets_tv,
+            gammas=gammas, has_discount=has_discount,
+            discount_modes=discount_modes, record_ttr=record_ttr,
+            stop_state=stop_state if has_stop_state else None,
+            stop_field=stop_field, stop_set=stop_set,
+            stop_set_mode=stop_set_mode, stop_level=stop_level)
 
     return run
 
@@ -264,27 +433,70 @@ def solve_vector(
     coupling: Callable | None = None,
     obstacles=None,
     targets=None,
+    discount_factors=None,
+    discount_modes="Jaime",
+    stop_init=None,
+    stop_field: int = 0,
+    stop_set_include=None,
+    stop_set_intersect=None,
+    stop_level: float = 0.0,
     converge_threshold: float | None = None,
     save_all: bool = True,
+    record_ttr: bool = False,
     nan_guard: bool = True,
 ) -> VectorSolveResult:
     """Jointly integrate a tuple of value functions under one shared CFL dt
     (the reference's list-valued ``odeCFLn`` state, ``ode_cfl_3.py:104-136``,
     at the orchestration layer).
 
-    ``systems``/``comp_methods``/``obstacles``/``targets`` are per-field
-    (scalars broadcast).  ``coupling(t, fields, fields_prev) -> fields`` runs
-    after comp/obstacle masking every RK step — e.g. reach-avoid:
-    ``lambda t, f, fp: (jnp.maximum(f[0], -f[1]), f[1])``.  The coupling
-    callable is part of the compilation cache key — reuse one function
-    object across calls (a fresh lambda per call retraces).
+    ``systems``/``comp_methods``/``obstacles``/``targets``/
+    ``discount_factors``/``discount_modes`` are per-field (scalars/strings
+    broadcast; ``None`` entries allowed).  Obstacles/targets accept per-tau
+    ``(len(tau), *grid)`` stacks per field (time-varying semantics, ref
+    ``hji_solver.py:209-228,641-644``).  ``coupling(t, fields,
+    fields_prev) -> fields`` runs after comp/obstacle masking every RK step
+    — e.g. reach-avoid: ``lambda t, f, fp: (jnp.maximum(f[0], -f[1]),
+    f[1])``.  The coupling callable is part of the compilation cache key —
+    reuse one function object across calls (a fresh lambda per call
+    retraces).
+
+    ``stop_init``/``stop_set_include``/``stop_set_intersect`` stop the
+    joint loop; the predicates evaluate on field ``stop_field`` (default 0
+    — the reference's stop criteria are defined on a single value
+    function).  ``record_ttr`` returns a per-field tuple of first-crossing
+    times (``result.ttr``); ``result.stop_index`` reports the first
+    stopped tau interval.
     """
-    systems, v0s, comp_methods, obstacles, targets = _norm_fields(
-        grid, systems, v0s, comp_methods, obstacles, targets)
-    tau = jnp.asarray(tau, dtype=v0s[0].dtype)
-    xs = grid.mesh_broadcastable(v0s[0].dtype)
+    tau = jnp.asarray(tau)
+    (systems, v0s, comp_methods, obstacles, targets,
+     obstacles_tv, targets_tv) = _norm_fields(
+        grid, systems, v0s, comp_methods, obstacles, targets,
+        n_tau=tau.shape[0])
+    dtype = v0s[0].dtype
+    tau = tau.astype(dtype)
+    xs = grid.mesh_broadcastable(dtype)
     use_precomputed = tuple(
         s.alpha_time_invariant for s in systems)
+    gammas, has_discount, discount_modes = _norm_discount(
+        len(v0s), comp_methods, targets, discount_factors, discount_modes,
+        dtype)
+    if stop_set_include is not None and stop_set_intersect is not None:
+        raise ValueError(
+            "stop_set_include and stop_set_intersect are mutually exclusive")
+    stop_set = (stop_set_include if stop_set_include is not None
+                else stop_set_intersect)
+    stop_set_mode = None
+    if stop_set is not None:
+        stop_set = jnp.asarray(stop_set, dtype)
+        if stop_set.shape != grid.shape:
+            raise ValueError(
+                f"stop set shape {stop_set.shape} != grid {grid.shape}")
+        stop_set_mode = ("include" if stop_set_include is not None
+                         else "intersect")
+    if not 0 <= stop_field < len(v0s):
+        raise ValueError(f"stop_field {stop_field} out of range")
+    stop_state = (jnp.asarray(stop_init, dtype)
+                  if stop_init is not None else jnp.zeros((), dtype))
 
     from .terms import _batched, resolve_pallas
 
@@ -296,8 +508,12 @@ def solve_vector(
         grid, cfg, comp_methods, len(v0s),
         tuple(o is not None for o in obstacles),
         tuple(t_ is not None for t_ in targets),
-        coupling, converge_threshold, save_all, use_precomputed, nan_guard)
-    values, changes, steps, nan_index = run(systems, v0s, tau, xs,
-                                            obstacles, targets)
+        coupling, converge_threshold, save_all, use_precomputed, nan_guard,
+        obstacles_tv, targets_tv, has_discount, discount_modes,
+        record_ttr, stop_init is not None, stop_field, stop_set_mode)
+    values, changes, steps, nan_index, stop_index, ttr = run(
+        systems, v0s, tau, xs, obstacles, targets, gammas,
+        stop_state, stop_set, jnp.asarray(stop_level, dtype))
     return VectorSolveResult(values=values, tau=tau, changes=changes,
-                             steps=steps, nan_index=nan_index)
+                             steps=steps, nan_index=nan_index,
+                             stop_index=stop_index, ttr=ttr)

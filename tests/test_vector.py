@@ -115,3 +115,114 @@ class TestCoupled:
                                        np.asarray(single.values[k]),
                                        atol=1e-10)
         assert int(shard.steps) == int(single.steps)
+
+
+class TestFrontDoorParity:
+    """VERDICT r4 #5: the single-field extras (discounting, tv stacks,
+    TTR, stopInit/stopSet) through the vector front door, each validated
+    against the single-field `solve` on decoupled fields."""
+
+    def setup_method(self):
+        self.g = create_grid([-2, -2], [2, 2], 21)
+        self.sys = DoubleIntegrator(u_max=1.0)
+        self.v0 = sphere(self.g, radius=0.5, dtype=jnp.float64)
+        self.target = sphere(self.g, radius=0.4, dtype=jnp.float64)
+        self.tau = jnp.linspace(0.0, 0.4, 3)
+        self.cfg = SchemeConfig(accuracy="eno2", rk_order=2)
+
+    def test_jaime_discounting_per_field(self):
+        res = solve_vector(
+            self.g, self.sys, (self.v0, self.v0), self.tau, cfg=self.cfg,
+            comp_methods=("minVWithL", "minVOverTime"),
+            targets=(self.target, None),
+            discount_factors=(0.9, None))
+        ra = solve(self.g, self.sys, self.v0, self.tau, cfg=self.cfg,
+                   comp_method="minVWithL", targets=self.target,
+                   discount_factor=0.9)
+        rb = solve(self.g, self.sys, self.v0, self.tau, cfg=self.cfg)
+        np.testing.assert_allclose(res.values[0], ra.values, atol=1e-12)
+        np.testing.assert_allclose(res.values[1], rb.values, atol=1e-12)
+
+    def test_kene_discounting(self):
+        res = solve_vector(
+            self.g, self.sys, (self.v0,), self.tau, cfg=self.cfg,
+            comp_methods="minVWithL", targets=(self.target,),
+            discount_factors=0.9, discount_modes="Kene")
+        ref = solve(self.g, self.sys, self.v0, self.tau, cfg=self.cfg,
+                    comp_method="minVWithL", targets=self.target,
+                    discount_factor=0.9, discount_mode="Kene")
+        np.testing.assert_allclose(res.values[0], ref.values, atol=1e-12)
+
+    def test_time_varying_obstacles(self):
+        obs = jnp.stack([
+            sphere(self.g, center=[1.0 - 0.3 * i, 1.0], radius=0.3,
+                   dtype=jnp.float64) for i in range(3)])
+        res = solve_vector(self.g, self.sys, (self.v0,), self.tau,
+                           cfg=self.cfg, obstacles=(obs,))
+        ref = solve(self.g, self.sys, self.v0, self.tau, cfg=self.cfg,
+                    obstacles=obs)
+        np.testing.assert_allclose(res.values[0], ref.values, atol=1e-12)
+
+    def test_record_ttr(self):
+        res = solve_vector(self.g, self.sys, (self.v0, self.v0),
+                           jnp.linspace(0.0, 1.0, 5), cfg=self.cfg,
+                           record_ttr=True)
+        ref = solve(self.g, self.sys, self.v0, jnp.linspace(0.0, 1.0, 5),
+                    cfg=self.cfg, record_ttr=True)
+        assert len(res.ttr) == 2
+        np.testing.assert_allclose(res.ttr[0], ref.ttr, atol=1e-12)
+
+    def test_stop_init(self):
+        state = jnp.array([1.2, 0.0])
+        tau = jnp.linspace(0.0, 2.0, 9)
+        res = solve_vector(self.g, self.sys, (self.v0, self.v0), tau,
+                           cfg=self.cfg, stop_init=state, stop_field=1)
+        ref = solve(self.g, self.sys, self.v0, tau, cfg=self.cfg,
+                    stop_init=state)
+        assert int(res.stop_index) == int(ref.stop_index)
+        np.testing.assert_allclose(res.values[1], ref.values, atol=1e-12)
+
+    def test_stop_set_intersect(self):
+        stop_set = sphere(self.g, center=[1.2, 0.0], radius=0.2,
+                          dtype=jnp.float64)
+        tau = jnp.linspace(0.0, 2.0, 9)
+        res = solve_vector(self.g, self.sys, (self.v0,), tau,
+                           cfg=self.cfg, stop_set_intersect=stop_set)
+        ref = solve(self.g, self.sys, self.v0, tau, cfg=self.cfg,
+                    stop_set_intersect=stop_set)
+        assert int(res.stop_index) == int(ref.stop_index)
+        np.testing.assert_allclose(res.values[0], ref.values, atol=1e-12)
+
+    def test_sharded_features_match_single(self):
+        g = create_grid([-2, -2], [2, 2], 24)
+        v0 = sphere(g, radius=0.5, dtype=jnp.float64)
+        target = sphere(g, radius=0.4, dtype=jnp.float64)
+        mesh = make_mesh({"x": 2, "y": 4})
+        kw = dict(comp_methods=("minVWithL", "minVOverTime"),
+                  targets=(target, None), discount_factors=(0.9, None),
+                  record_ttr=True)
+        res = solve_vector(g, self.sys, (v0, v0), self.tau, cfg=self.cfg,
+                           **kw)
+        shr = solve_vector_sharded(g, self.sys, (v0, v0), self.tau,
+                                   shard_axes={0: "x", 1: "y"}, mesh=mesh,
+                                   cfg=self.cfg, **kw)
+        for k in range(2):
+            np.testing.assert_allclose(shr.values[k], res.values[k],
+                                       atol=1e-10)
+            np.testing.assert_allclose(shr.ttr[k], res.ttr[k], atol=1e-10)
+        assert int(shr.stop_index) == int(res.stop_index)
+
+    def test_validation(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="Kene"):
+            solve_vector(self.g, self.sys, (self.v0,), self.tau,
+                         cfg=self.cfg, discount_factors=0.9,
+                         discount_modes="Kene")
+        with pytest.raises(ValueError, match="stop_field"):
+            solve_vector(self.g, self.sys, (self.v0,), self.tau,
+                         cfg=self.cfg, stop_field=3)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            solve_vector(self.g, self.sys, (self.v0,), self.tau,
+                         cfg=self.cfg, stop_set_include=self.v0,
+                         stop_set_intersect=self.v0)
