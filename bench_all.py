@@ -238,6 +238,45 @@ def bench_air3d_obstacle(n=101, t_end=2.0):
               "speed)")
 
 
+def bench_generic_costate(n=101, t_end=0.5):
+    """Generic system (NO analytic alpha — the reference's production
+    default, generic_partial.py:42-51) at the headline grid with LLF
+    dissipation: in-kernel node-local costate-box alphas (VERDICT r4 #1)
+    vs the XLA per-substep path.  vs_baseline = XLA wall / fused wall."""
+    import jax.numpy as jnp
+
+    from levelsetpy_tpu import SchemeConfig, create_grid, cylinder, solve
+
+    sys.path.insert(0, str(ROOT / "tests"))
+    from test_pallas_kernel import GenericPursuit
+
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], n,
+                       periodic_dims=[2])
+    xs = grid.mesh_broadcastable(jnp.float32)
+    target = cylinder(grid, ignore_axes=[2], radius=5.0) \
+        + 0.5 * jnp.sin(xs[2]) * jnp.cos(0.3 * xs[0]) * jnp.cos(0.2 * xs[1])
+    system = GenericPursuit(v_e=5.0, v_p=5.0, w_bound=1.0)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+
+    def run(flag):
+        cfg = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                           dissipation="local", use_pallas=flag)
+        r = solve(grid, system, target, tau, cfg=cfg, save_all=False)
+        float(jnp.sum(r.values))
+        return r
+
+    res = run(True)
+    run(False)
+    fused_s = _best_of(lambda: run(True))
+    xla_s = _best_of(lambda: run(False))
+    emit(f"air3d_{n}cube_generic_costate_llf_T{t_end}", fused_s, "s",
+         xla_s / fused_s, steps=int(res.steps),
+         xla_s=round(xla_s, 4),
+         note="vs_baseline = XLA wall / fused wall for a generic "
+              "(4-corner costate-box alpha) system; >1 means generic "
+              "systems get the kernel speedup too")
+
+
 def bench_sweep(batch=1024, n=31, t_end=0.25):
     import jax
     import jax.numpy as jnp
@@ -603,6 +642,8 @@ def main():
         RECORDS.append(bench.main())  # prints the headline line itself
     if "air3d_obstacle" not in args.skip:
         bench_air3d_obstacle()
+    if "generic_costate" not in args.skip:
+        bench_generic_costate()
     if "sweep" not in args.skip:
         bench_sweep(batch=args.sweep_batch)
     if "sweep_batchlast" not in args.skip:

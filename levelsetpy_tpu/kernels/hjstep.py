@@ -324,6 +324,15 @@ def fused_substep_3d(
                                  # in-kernel (VERDICT r3 #2: systems with
                                  # expensive alphas — flock member maxima —
                                  # trade 3 HBM reads for the VPU cost)
+    costate_alpha: str | None = None,  # 'local'/'locallocal': evaluate the
+                                 # generic costate-box alpha IN-KERNEL from
+                                 # the node-local derivL/derivR boxes (ref
+                                 # diss_local_laxfried.py:106-121 /
+                                 # diss_localsq; VERDICT r4 #1).  'local'
+                                 # reads the off-axis GLOBAL box from gbox.
+    gbox=None,                   # (gmin tuple, gmax tuple) global costate
+                                 # extremes per dim (traced scalars; SMEM)
+                                 # — required for costate_alpha='local'
     fill_axes: tuple = (1, 2),   # which output axes get their ghost layers
                                  # filled IN-KERNEL from the updated
                                  # interior; a SHARDED y axis is excluded
@@ -372,11 +381,18 @@ def fused_substep_3d(
     n_al = len(alpha_ops)
     if n_al not in (0, 3):
         raise ValueError("alpha_ops must be () or all 3 axes")
+    if costate_alpha not in (None, "local", "locallocal"):
+        raise ValueError(f"costate_alpha must be 'local'/'locallocal'/None;"
+                         f" got {costate_alpha!r}")
+    if costate_alpha == "local" and gbox is None:
+        raise ValueError("costate_alpha='local' needs the global box gbox")
+    if costate_alpha is not None and n_al:
+        raise ValueError("costate_alpha excludes alpha_ops")
 
     scaled = inv_eps is not None
 
-    def kernel(eps_ref, inv_ref, sc_ref, params_ref, org_ref, vb_hbm,
-               va_hbm, *rest_io):
+    def kernel(eps_ref, inv_ref, sc_ref, params_ref, org_ref, gbox_ref,
+               vb_hbm, va_hbm, *rest_io):
         ex_hbm = rest_io[:n_ex]
         al_hbm = rest_io[n_ex:n_ex + n_al]
         out_hbm = rest_io[n_ex + n_al]
@@ -479,6 +495,31 @@ def fused_substep_3d(
                 diss = (0.5 * (dr0 - dl0) * als[0][slot]
                         + 0.5 * (dr1 - dl1) * als[1][slot]
                         + 0.5 * (dr2 - dl2) * als[2][slot])
+            elif costate_alpha is not None:
+                # generic costate-box alpha IN-KERNEL (VERDICT r4 #1):
+                # dim `ax` uses the node-local [min(dl,dr), max(dl,dr)]
+                # box the kernel already holds in registers; other dims
+                # use the node-local box too (locallocal, ref
+                # diss_localsq_laxfried.py:96-105) or the interval-start
+                # GLOBAL extremes from SMEM (local, ref
+                # diss_local_laxfried.py:106-121)
+                pairs = ((dl0, dr0), (dl1, dr1), (dl2, dr2))
+                bl = tuple(jnp.minimum(l, r) for l, r in pairs)
+                bh = tuple(jnp.maximum(l, r) for l, r in pairs)
+                diss = jnp.zeros(shape, dtype)
+                for ax, (dl, dr) in enumerate(pairs):
+                    if costate_alpha == "local":
+                        p_min = tuple(
+                            bl[j] if j == ax else gbox_ref[j]
+                            for j in range(3))
+                        p_max = tuple(
+                            bh[j] if j == ax else gbox_ref[3 + j]
+                            for j in range(3))
+                    else:
+                        p_min, p_max = bl, bh
+                    a = alpha_fn(tt, starts, shape, params_ref, ax,
+                                 p_min, p_max)
+                    diss = diss + 0.5 * (dr - dl) * a
             else:
                 diss = (0.5 * (dr0 - dl0)
                         * alpha_fn(tt, starts, shape, params_ref, 0)
@@ -546,6 +587,7 @@ def fused_substep_3d(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # [t, cd, gamma, mv]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params
             pl.BlockSpec(memory_space=pltpu.SMEM),   # origin
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # gbox (3 mins, 3 maxs)
             pl.BlockSpec(memory_space=pltpu.HBM),    # vb
             pl.BlockSpec(memory_space=pltpu.HBM),    # va
         ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * (n_ex + n_al),
@@ -572,6 +614,9 @@ def fused_substep_3d(
         jnp.asarray(params, dtype).reshape(-1),
         (jnp.zeros((3,), jnp.int32) if origin is None
          else jnp.stack([jnp.asarray(o, jnp.int32) for o in origin])),
+        (jnp.zeros((6,), dtype) if gbox is None
+         else jnp.stack([jnp.asarray(s, dtype)
+                         for s in (*gbox[0], *gbox[1])])),
         vb,
         va,
         *extras,
@@ -593,7 +638,8 @@ def initial_epsilon(grid: Grid, cfg, vq, ops=None):
 
 def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
                   comp, eps, origin=None, shard=None, extras=(),
-                  gamma=0.0, kene_mv=0.0, alpha_ops=()):
+                  gamma=0.0, kene_mv=0.0, alpha_ops=(),
+                  costate_mode=None, gbox=None):
     """One CFL-limited TVD-RK step on the aligned state ``vq`` with the
     solver's per-step epilogue fused into the final substep; returns
     ``(t_new, v_new, eps_new)``.
@@ -604,8 +650,16 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
     maxVOverTime against the step-start value) or a full :class:`Epilogue`
     with operand arrays in ``extras`` (aligned layout; see the solver's
     fused-path assembly) and the discount scalars ``gamma``/``kene_mv``.
-    Requires precomputed ``alpha_bounds`` (time-invariant alphas) — which
-    also makes the CFL ``dt`` a pure function of remaining time.
+    ``alpha_bounds`` supplies the CFL step bound — precomputed
+    (time-invariant alphas) or the interval-start refresh
+    (``terms.costate_alpha_bounds``); either way ``dt`` is a pure function
+    of remaining time inside the interval.
+
+    ``costate_mode`` ('local'/'locallocal') switches the dissipation to
+    IN-KERNEL generic costate-box alphas (VERDICT r4 #1): each substep
+    evaluates ``system.alpha`` at the CURRENT node-local derivL/derivR
+    box; 'local' additionally reads the interval-start global extremes
+    from ``gbox`` (see ``terms.costate_alpha_bounds`` for lag semantics).
 
     ``eps`` is the per-axis WENO epsilon carried across substeps.  For
     ``maxOverGrid`` it is LAGGED: each substep consumes the epsilon
@@ -653,6 +707,7 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
             gamma=gamma, kene_mv=kene_mv,
             restrict=cfg.restrict_update, want_eps=scaled,
             eps_neighbors=neighbors, alpha_ops=alpha_ops,
+            costate_alpha=costate_mode, gbox=gbox,
             fill_axes=fill_axes, origin=origin)
         if scaled:
             o, d1max = r

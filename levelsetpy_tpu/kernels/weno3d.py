@@ -95,9 +95,14 @@ def system_closures(grid: Grid, system, dtype):
     Returns ``(flat_params, ham_fn, alpha_fn)`` with
       * ``ham_fn(t, starts, p, params_ref) -> H`` — ``p`` are the central
         derivatives; coordinates follow ``start + iota`` per axis;
-      * ``alpha_fn(t, starts, shape, params_ref, axis) -> alpha``
-        (broadcastable against ``shape``) — valid for
-        ``alpha_time_invariant`` systems (costate box ignored).
+      * ``alpha_fn(t, starts, shape, params_ref, axis[, p_min, p_max])
+        -> alpha`` (broadcastable against ``shape``).  Without a box it is
+        valid for ``alpha_time_invariant`` systems (costate box ignored);
+        WITH ``p_min``/``p_max`` tuples (node-local arrays and/or global
+        scalars) it evaluates the generic 4-corner costate-box bound
+        (``System.alpha`` default, ref ``generic_partial.py:42-51``)
+        in-kernel — the LLF/LLLF path for systems without an analytic
+        alpha (VERDICT r4 #1).
     """
     flat_params, rebuild = flatten_system(system, dtype)
     nd = grid.ndim
@@ -120,9 +125,11 @@ def system_closures(grid: Grid, system, dtype):
         sys_k = rebuild(params_ref)
         return sys_k.hamiltonian(tt, coords_at(starts, p[0].shape), p)
 
-    def alpha_fn(tt, starts, shape, params_ref, axis):
+    def alpha_fn(tt, starts, shape, params_ref, axis, p_min=None,
+                 p_max=None):
         sys_k = rebuild(params_ref)
-        return sys_k.alpha(tt, coords_at(starts, shape), None, None, axis)
+        return sys_k.alpha(tt, coords_at(starts, shape), p_min, p_max,
+                           axis)
 
     return flat_params, ham_fn, alpha_fn
 

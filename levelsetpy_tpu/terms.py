@@ -307,6 +307,59 @@ def precompute_alpha(
     return AlphaBounds(alphas=alphas, step_bound=1.0 / sb_inv)
 
 
+def costate_alpha_bounds(grid: Grid, cfg: "SchemeConfig", system: System,
+                         t, v: jnp.ndarray, xs: Sequence,
+                         ops: GridOps | None = None):
+    """Costate-box dissipation bounds of a GENERIC system at one instant.
+
+    For systems without an analytic alpha (the reference's production
+    default: ``generic_partial.py:42-51`` evaluated over
+    ``diss_local_laxfried.py:106-121`` boxes), the fused substep kernels
+    evaluate the node-local part of the box IN-KERNEL per substep; what
+    they cannot cheaply produce per substep are the two grid-global
+    reductions — the CFL step bound and (for ``dissipation='local'``) the
+    off-axis global costate extremes.  This helper computes both with ONE
+    XLA derivative pass at a tau-interval start (the ``lagged_alpha``
+    refresh pattern, VERDICT r4 #1): returns ``(AlphaBounds, gbox)`` where
+    ``alphas`` are the node-wise bounds per ``cfg.dissipation`` (feeding
+    the step bound and any XLA-path consumer) and ``gbox = (gmin, gmax)``
+    are the per-dim global costate extremes (scalars).
+
+    Lag semantics: within the interval the kernel's alphas track the
+    CURRENT substep's node-local derivatives exactly; only the step bound
+    and the off-axis global box are frozen at the interval start.  Keep
+    tau intervals short relative to the solution's evolution (the same
+    caveat as the ``alpha_costate_free`` lagged refresh; the reference
+    recomputes every substep, ``diss_local_laxfried.py:106-121``).
+    """
+    nd = grid.ndim
+    if ops is None:
+        ops = local_ops(grid)
+    kernel, width = padded_fn(cfg.accuracy)
+    kwargs = (
+        {"epsilon_method": cfg.epsilon_method, "global_max": ops.reduce_max}
+        if cfg.accuracy in ("veryHigh", "weno5") else {})
+    deriv_l, deriv_r = [], []
+    for axis in range(nd):
+        g = ops.pad(v, axis, width)
+        dl, dr = kernel(grid.dx[axis], g, axis, v.shape[axis], **kwargs)
+        deriv_l.append(dl)
+        deriv_r.append(dr)
+    alphas, sb_inv = [], 0.0
+    for axis in range(nd):
+        p_min, p_max = _deriv_bounds(deriv_l, deriv_r, cfg.dissipation,
+                                     axis, ops.reduce_max, ops.reduce_min)
+        a = system.alpha(t, xs, p_min, p_max, axis)
+        alphas.append(a)
+        sb_inv = sb_inv + ops.reduce_max(a) / grid.dx[axis]
+    gmin = tuple(ops.reduce_min(jnp.minimum(l, r))
+                 for l, r in zip(deriv_l, deriv_r))
+    gmax = tuple(ops.reduce_max(jnp.maximum(l, r))
+                 for l, r in zip(deriv_l, deriv_r))
+    return (AlphaBounds(alphas=tuple(alphas), step_bound=1.0 / sb_inv),
+            (gmin, gmax))
+
+
 def _deriv_bounds(deriv_l, deriv_r, kind: Dissipation, axis: int,
                   reduce_max: Callable, reduce_min: Callable):
     """Costate box for the ``alpha`` query along ``axis``.

@@ -248,6 +248,40 @@ def fused_neighbors_eps(n=51, t_end=0.25):
           f"max|diff|={err:.2e} steps {int(r1.steps)}=={int(r2.steps)}")
 
 
+def costate_kernel(n=51, t_end=0.12):
+    """Generic (no analytic alpha) system through the fused substep kernel
+    with in-kernel node-local costate-box alphas (VERDICT r4 #1), LLLF
+    with max_step binding the dt so the XLA comparison is exact up to f32
+    association + bang-bang knife edges (a handful of sign(det)-boundary
+    nodes may flip the 4-corner control between paths)."""
+    sys.path.insert(0, str(ROOT / "tests"))
+    from test_pallas_kernel import GenericPursuit
+
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], n,
+                       periodic_dims=[2])
+    xs = grid.mesh_broadcastable(jnp.float32)
+    v = cylinder(grid, ignore_axes=[2], radius=5.0) \
+        + 0.5 * jnp.sin(xs[2]) * jnp.cos(0.3 * xs[0]) * jnp.cos(0.2 * xs[1])
+    system = GenericPursuit(v_e=5.0, v_p=5.0, w_bound=1.0)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    kw = dict(accuracy="veryHigh", rk_order=2, dissipation="locallocal",
+              epsilon_method="constant", max_step=0.004)
+    r1 = solve(grid, system, v, tau, cfg=SchemeConfig(use_pallas=False,
+                                                      **kw),
+               save_all=False)
+    r2 = solve(grid, system, v, tau, cfg=SchemeConfig(use_pallas=True,
+                                                      **kw),
+               save_all=False)
+    diff = np.abs(np.asarray(r1.values) - np.asarray(r2.values))
+    scale = np.abs(np.asarray(r1.values)).max()
+    n_bad = int((diff > 2e-5 * scale).sum())
+    ok = (n_bad <= 10 and diff.max() <= 1e-3 * scale
+          and int(r1.steps) == int(r2.steps))
+    check("costate-box (generic alpha) kernel vs xla", ok,
+          f"max|diff|={diff.max():.2e} outliers={n_bad} "
+          f"steps {int(r1.steps)}=={int(r2.steps)}")
+
+
 if __name__ == "__main__":
     print("device:", jax.devices()[0], flush=True)
     quick = "--quick" in sys.argv
@@ -261,4 +295,5 @@ if __name__ == "__main__":
     fused_epilogue_4d()
     fused_epilogue_batch()
     fused_neighbors_eps()
+    costate_kernel()
     sys.exit(1 if FAILED else 0)

@@ -282,3 +282,137 @@ def test_fused_step_local_dissipation(interpret_pallas, kind):
                                np.asarray(r_g.values), atol=1e-6 * scale)
     np.testing.assert_allclose(np.asarray(r_lp.values),
                                np.asarray(r_g.values), atol=2e-5 * scale)
+
+
+# ---- generic (costate-box) systems through the fused kernel (VERDICT r4 #1)
+from levelsetpy_tpu.systems.base import System, register_system
+
+
+@register_system
+class GenericPursuit(System):
+    """Dubins-relative dynamics WITHOUT any analytic alpha/Hamiltonian:
+    exercises the generic 4-corner costate-box machinery (``System.alpha``
+    default, ref generic_partial.py:42-51) end to end."""
+
+    v_e: float = 5.0
+    v_p: float = 5.0
+    w_bound: float = 1.0
+
+    n_states = 3
+
+    def dynamics(self, t, x, u, d):
+        we, wp = u[0], d[0]
+        return (
+            -self.v_e + self.v_p * jnp.cos(x[2]) + we * x[1],
+            -self.v_p * jnp.sin(x[2]) - we * x[0],
+            -wp - we,
+        )
+
+    def opt_control(self, t, x, p, mode):
+        det = p[0] * x[1] - p[1] * x[0] - p[2]
+        s = jnp.sign(det)
+        return ((-s if mode == "min" else s) * self.w_bound,)
+
+    def opt_disturbance(self, t, x, p, mode):
+        s = jnp.sign(-p[2])
+        return ((-s if mode == "min" else s) * self.w_bound,)
+
+
+def generic_setup(shape=(20, 16, 16)):
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], shape,
+                       periodic_dims=[2])
+    xs = grid.mesh_broadcastable(jnp.float32)
+    v = cylinder(grid, ignore_axes=[2], radius=5.0) \
+        + 0.5 * jnp.sin(xs[2]) * jnp.cos(0.3 * xs[0]) * jnp.cos(0.2 * xs[1])
+    return grid, v, GenericPursuit()
+
+
+def assert_close_except_knife_edges(a, b, atol, outlier_atol, max_outliers):
+    """Elementwise closeness that tolerates a few bang-bang knife-edge
+    nodes: the generic 4-corner alpha takes ``sign(det)`` of a derivative
+    expression, and where det crosses zero the two paths' different f32
+    association can flip the optimal control — an O(alpha) local
+    dissipation difference at a measure-zero set, not a math error.  All
+    but ``max_outliers`` elements must meet ``atol``; outliers must still
+    meet ``outlier_atol``."""
+    diff = np.abs(np.asarray(a) - np.asarray(b))
+    n_bad = int((diff > atol).sum())
+    assert n_bad <= max_outliers, (n_bad, float(diff.max()))
+    assert float(diff.max()) <= outlier_atol, float(diff.max())
+
+
+def test_costate_kernel_locallocal_exact(interpret_pallas):
+    """LLLF: all dims node-local -> the kernel's per-substep costate-box
+    alphas are EXACTLY the XLA path's.  max_step binds the dt on both
+    paths (the fused path's CFL bound refreshes per interval, the XLA
+    path's per substep — with max_step < both, trajectories coincide)."""
+    from levelsetpy_tpu import solve
+
+    grid, v, system = generic_setup()
+    assert not system.alpha_time_invariant
+    assert not system.alpha_costate_free
+    tau = jnp.linspace(0.0, 0.12, 2)
+    kw = dict(accuracy="veryHigh", rk_order=2, dissipation="locallocal",
+              epsilon_method="constant", max_step=0.004)
+    r_x = solve(grid, system, v, tau, cfg=SchemeConfig(**kw))
+    r_p = solve(grid, system, v, tau,
+                cfg=SchemeConfig(use_pallas=True, **kw))
+    assert int(r_p.steps) == int(r_x.steps)
+    scale = float(jnp.max(jnp.abs(r_x.values)))
+    assert_close_except_knife_edges(r_p.values, r_x.values,
+                                    atol=2e-5 * scale,
+                                    outlier_atol=1e-3 * scale,
+                                    max_outliers=5)
+
+
+def test_costate_kernel_local_exact_rk1(interpret_pallas):
+    """LLF with one RK1 substep per tau interval: every substep IS an
+    interval start, so the fused path's 'frozen' global box equals the XLA
+    path's fresh one -> exact parity."""
+    from levelsetpy_tpu import solve
+
+    grid, v, system = generic_setup()
+    tau = jnp.linspace(0.0, 0.06, 7)   # intervals << CFL bound -> 1 substep
+    kw = dict(accuracy="veryHigh", rk_order=1, dissipation="local",
+              epsilon_method="constant")
+    r_x = solve(grid, system, v, tau, cfg=SchemeConfig(**kw))
+    r_p = solve(grid, system, v, tau,
+                cfg=SchemeConfig(use_pallas=True, **kw))
+    assert int(r_p.steps) == int(r_x.steps) == 6
+    scale = float(jnp.max(jnp.abs(r_x.values)))
+    np.testing.assert_allclose(np.asarray(r_p.values),
+                               np.asarray(r_x.values), atol=2e-5 * scale)
+
+
+def test_costate_kernel_local_full_solve_close(interpret_pallas):
+    """Full LLF solve (RK2, CFL dt, lagged interval-start global box + dt):
+    the lag shifts the dissipation by O(dt) — the solution must stay
+    within a loose tolerance of the per-substep XLA reference."""
+    from levelsetpy_tpu import solve
+
+    grid, v, system = generic_setup()
+    tau = jnp.linspace(0.0, 0.3, 4)
+    kw = dict(accuracy="veryHigh", rk_order=2, dissipation="local")
+    r_x = solve(grid, system, v, tau, cfg=SchemeConfig(**kw))
+    r_p = solve(grid, system, v, tau,
+                cfg=SchemeConfig(use_pallas=True, **kw))
+    scale = float(jnp.max(jnp.abs(r_x.values)))
+    assert_close_except_knife_edges(r_p.values[-1], r_x.values[-1],
+                                    atol=2e-3 * scale,
+                                    outlier_atol=5e-3 * scale,
+                                    max_outliers=5)
+    assert bool(jnp.isfinite(r_p.values).all())
+
+
+def test_costate_global_dissipation_stays_xla(interpret_pallas):
+    """Global LF for a generic system has no in-kernel form (the whole box
+    is grid-global) — the solve must fall back to the XLA path and still
+    work."""
+    from levelsetpy_tpu import solve
+
+    grid, v, system = generic_setup((12, 12, 12))
+    tau = jnp.linspace(0.0, 0.1, 2)
+    r = solve(grid, system, v, tau,
+              cfg=SchemeConfig(accuracy="veryHigh", rk_order=2,
+                               use_pallas=True))
+    assert bool(jnp.isfinite(r.values).all())

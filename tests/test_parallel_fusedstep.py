@@ -233,3 +233,27 @@ def test_sharded_fused_step_xy_lagged_eps(interpret_pallas):
     np.testing.assert_allclose(np.asarray(r_sh.values),
                                np.asarray(r_1.values), atol=2e-5 * scale)
     assert int(r_sh.steps) == int(r_1.steps)
+
+
+def test_sharded_costate_kernel_matches_single(interpret_pallas):
+    """Generic (no-analytic-alpha) system through the sharded fused path
+    (VERDICT r4 #1): the in-kernel node-local costate-box alphas plus the
+    pmax/pmin-reduced interval-start global box/dt must reproduce the
+    single-device fused solve."""
+    from tests.test_pallas_kernel import GenericPursuit
+
+    grid, _, v = setup((32, 20, 16))
+    system = GenericPursuit(v_e=5.0, v_p=5.0, w_bound=1.0)
+    tau = jnp.linspace(0.0, 0.2, 3)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True,
+                       dissipation="local", epsilon_method="constant")
+    mesh = make_mesh({"x": 4})
+    r_sh = solve_sharded(grid, system, v, tau, shard_axes={0: "x"},
+                         mesh=mesh, cfg=cfg)
+    r_1 = solve(grid, system, v, tau, cfg=cfg)
+    scale = float(jnp.max(jnp.abs(r_1.values)))
+    diff = np.abs(np.asarray(r_sh.values) - np.asarray(r_1.values))
+    # knife-edge tolerance: see test_pallas_kernel.assert_close_except_...
+    assert int((diff > 2e-5 * scale).sum()) <= 5
+    assert float(diff.max()) <= 1e-3 * scale
+    assert int(r_sh.steps) == int(r_1.steps)
