@@ -133,6 +133,11 @@ def _sharded_vector_run(grid, cfg, comp_methods, n_f, shard_items, mesh,
     nd = grid.ndim
     mesh_axes = tuple(mesh.axis_names)
     lgrid = local_grid(grid, shard_axes, mesh)
+    # x/y shardings run the fused substep kernel PER SHARD (same gate as
+    # parallel.solver._sharded_run); other shardings use the per-RHS path
+    fused_shard = ((dict(shard_axes), mesh_axes)
+                   if shard_axes and set(shard_axes) <= {0, 1}
+                   and nd == 3 else None)
     grid_spec = P(*(shard_axes.get(i) for i in range(nd)))
     grid_spec_t = P(None, *(shard_axes.get(i) for i in range(nd)))
 
@@ -173,7 +178,8 @@ def _sharded_vector_run(grid, cfg, comp_methods, n_f, shard_items, mesh,
             stop_field=stop_field, stop_set=stop_set_local,
             stop_set_mode=stop_set_mode, stop_level=stop_level,
             eval_fn=eval_fn,
-            pallas_grid=lgrid, pallas_origin=origin)
+            pallas_grid=lgrid, pallas_origin=origin,
+            fused_shard=fused_shard)
 
     ttr_spec = ((grid_spec,) * n_f if record_ttr else (P(),) * n_f)
     mapped = jax.shard_map(
