@@ -324,6 +324,12 @@ def fused_substep_3d(
                                  # in-kernel (VERDICT r3 #2: systems with
                                  # expensive alphas — flock member maxima —
                                  # trade 3 HBM reads for the VPU cost)
+    noise_c=None,                # OPTIONAL (3,) diagonal-noise coefficients
+                                 # sigma_i^2/(2 dx_i^2) (traced; SMEM):
+                                 # adds the Ito trace-Hessian term as three
+                                 # centered second differences IN-KERNEL
+                                 # (VERDICT r4 #8; diagonal sigma only —
+                                 # mixed terms would read corner ghosts)
     costate_alpha: str | None = None,  # 'local'/'locallocal': evaluate the
                                  # generic costate-box alpha IN-KERNEL from
                                  # the node-local derivL/derivR boxes (ref
@@ -406,6 +412,7 @@ def fused_substep_3d(
         cdt = sc_ref[1]
         gm = sc_ref[2]
         mv = sc_ref[3]
+        # noise coefficients ride sc_ref[4:7] (zeros when disabled)
 
         if want_eps:
             iy = jax.lax.broadcasted_iota(jnp.int32, (yp, zp), 0)
@@ -532,6 +539,16 @@ def fused_substep_3d(
                 f = jnp.minimum(f, 0.0)
             elif restrict == "max":
                 f = jnp.maximum(f, 0.0)
+            if noise_c is not None:
+                # diagonal Ito trace-Hessian term, AFTER the restrict
+                # clamp (the XLA path's sum_terms adds the noise delta to
+                # hj_rhs's already-clamped output — same order here)
+                h0 = g[4:4 + block_x] + g[2:2 + block_x] - 2.0 * center
+                h1 = _roll(center, -1, 1) + _roll(center, 1, 1) \
+                    - 2.0 * center
+                h2 = _roll(center, -1, 2) + _roll(center, 1, 2) \
+                    - 2.0 * center
+                f = f + sc_ref[4] * h0 + sc_ref[5] * h1 + sc_ref[6] * h2
 
             out = cb * center + cdt * f
             if ca != 0.0:
@@ -608,9 +625,12 @@ def fused_substep_3d(
         jnp.broadcast_to(jnp.asarray(eps, dtype), (3,)),
         jnp.broadcast_to(jnp.asarray(
             eps if inv_eps is None else inv_eps, dtype), (3,)),
-        jnp.stack([jnp.asarray(t, dtype), jnp.asarray(cd, dtype),
-                   jnp.broadcast_to(jnp.asarray(gamma, dtype), ()),
-                   jnp.broadcast_to(jnp.asarray(kene_mv, dtype), ())]),
+        jnp.concatenate([
+            jnp.stack([jnp.asarray(t, dtype), jnp.asarray(cd, dtype),
+                       jnp.broadcast_to(jnp.asarray(gamma, dtype), ()),
+                       jnp.broadcast_to(jnp.asarray(kene_mv, dtype), ())]),
+            (jnp.zeros((3,), dtype) if noise_c is None
+             else jnp.asarray(noise_c, dtype).reshape(3))]),
         jnp.asarray(params, dtype).reshape(-1),
         (jnp.zeros((3,), jnp.int32) if origin is None
          else jnp.stack([jnp.asarray(o, jnp.int32) for o in origin])),
@@ -639,7 +659,7 @@ def initial_epsilon(grid: Grid, cfg, vq, ops=None):
 def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
                   comp, eps, origin=None, shard=None, extras=(),
                   gamma=0.0, kene_mv=0.0, alpha_ops=(),
-                  costate_mode=None, gbox=None):
+                  costate_mode=None, gbox=None, noise_c=None):
     """One CFL-limited TVD-RK step on the aligned state ``vq`` with the
     solver's per-step epilogue fused into the final substep; returns
     ``(t_new, v_new, eps_new)``.
@@ -707,7 +727,7 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
             gamma=gamma, kene_mv=kene_mv,
             restrict=cfg.restrict_update, want_eps=scaled,
             eps_neighbors=neighbors, alpha_ops=alpha_ops,
-            costate_alpha=costate_mode, gbox=gbox,
+            costate_alpha=costate_mode, gbox=gbox, noise_c=noise_c,
             fill_axes=fill_axes, origin=origin)
         if scaled:
             o, d1max = r

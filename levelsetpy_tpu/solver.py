@@ -171,16 +171,26 @@ def _solve_core(
         (not have_alpha) and grid.ndim == 3
         and cfg.dissipation in ("local", "locallocal")
     )
+    # DIAGONAL Gaussian noise (1-D stddev — a static shape property of the
+    # traced sigma) fuses into the 3-D substep kernel as three centered
+    # second differences (VERDICT r4 #8); full (nd, m) diffusion matrices
+    # keep the XLA path — their mixed-Hessian stencils read CORNER ghost
+    # values, whose fill order differs between the kernel's in-kernel
+    # y/z fill + post-hoc x refresh and XLA's sequential padding.
+    noise_fusable = (
+        noise_sigma is not None
+        and getattr(noise_sigma, "ndim", 2) == 1 and grid.ndim == 3
+    )
     # Fused full-RK-substep kernel (kernels/hjstep.py): value function stays
     # in the aligned ghost-padded layout across the entire interval, with
     # the solver's ENTIRE per-step epilogue — comp method (incl. withV0/
     # withL), Jaime/Kene discounting, obstacle masking — fused into the
     # final substep (VERDICT r3 #1).  Fixed operand arrays (v0, the
-    # interval's target, the negated obstacle) ride as extra DMA streams;
-    # only the noise term still forces the hj_rhs path below.
+    # interval's target, the negated obstacle) ride as extra DMA streams.
     fused_ok = (
         allow_fused and (have_alpha or costate_kernel)
-        and grid.ndim in (3, 4) and noise_sigma is None
+        and grid.ndim in (3, 4)
+        and (noise_sigma is None or noise_fusable)
     )
     if grid.ndim == 4:
         from .kernels.hjstep4d import fused4d_eligible
@@ -237,7 +247,8 @@ def _solve_core(
     from .terms import batch_pallas_eligible
 
     use_fused_batch = (
-        fused_ok and have_alpha and n_batch is not None and grid.ndim == 3
+        fused_ok and have_alpha and noise_sigma is None
+        and n_batch is not None and grid.ndim == 3
         and batch_pallas_eligible(grid, cfg, n_batch, system, v0,
                                   n_extras=len(epi_slots)))
 
@@ -251,6 +262,18 @@ def _solve_core(
         alpha_bounds = dataclasses.replace(
             alpha_bounds,
             widened=widen_alphas_any(pgrid, alpha_bounds.alphas, v0.dtype))
+
+    noise_c = None
+    if noise_fusable:
+        # premultiplied in-kernel coefficients: delta = sum_i c_i *
+        # (v[i+1] - 2 v[i] + v[i-1]) with c_i = sigma_i^2 / (2 dx_i^2)
+        # (the Ito-correct 1/2 — see make_trace_hessian_term), and the
+        # parabolic CFL contribution combined into the step bound exactly
+        # as sum_terms would
+        sg2 = (noise_sigma * noise_sigma).astype(v0.dtype)
+        dx2 = jnp.asarray([d * d for d in grid.dx], v0.dtype)
+        noise_c = 0.5 * sg2 / dx2
+        noise_sb_inv = jnp.sum(sg2 / dx2)
 
     noise_term = None
     if noise_sigma is not None:
@@ -353,6 +376,13 @@ def _solve_core(
         else:
             ab_i = None
         rhs_i = make_rhs(ab_i)
+        if use_fused_step and noise_fusable and ab_i is not None:
+            # combined hyperbolic + parabolic CFL bound for the fused dt
+            # (make_rhs above closes over the UNADJUSTED ab_i — its
+            # sum_terms does this combine itself on the XLA path)
+            ab_i = dataclasses.replace(
+                ab_i,
+                step_bound=1.0 / (1.0 / ab_i.step_bound + noise_sb_inv))
 
         def do(v, ttr):
             def cond(c):
@@ -411,6 +441,9 @@ def _solve_core(
                         # the 4-D costate case never sets fused_ok)
                         step_kw["costate_mode"] = cfg.dissipation
                         step_kw["gbox"] = gbox_i
+                    if noise_fusable:
+                        # diagonal trace-Hessian term in-kernel (3-D only)
+                        step_kw["noise_c"] = noise_c
                     if (grid.ndim == 3
                             and getattr(system, "alpha_via_operands",
                                         False)):
@@ -721,14 +754,14 @@ def _prep_operands(grid, system, v0, tau, cfg, comp_method, obstacles,
         stop_set_mode = ("include" if stop_set_include is not None
                          else "intersect")
 
-    # Gaussian process noise: a stddev vector becomes a diagonal diffusion
-    # matrix; an (nd, m) matrix is used as-is (ref extraArgs.
-    # addGaussianNoiseStandardDeviation, hji_solver.py:450-471).
+    # Gaussian process noise: a stddev VECTOR stays 1-D (diagonal
+    # diffusion — its rank is a static shape property that gates the
+    # in-kernel fused form, VERDICT r4 #8; make_trace_hessian_term
+    # diag-ifies internally); an (nd, m) matrix is used as-is (ref
+    # extraArgs.addGaussianNoiseStandardDeviation, hji_solver.py:450-471).
     noise_sigma = None
     if noise_stddev is not None:
         noise_sigma = jnp.asarray(noise_stddev, v0.dtype)
-        if noise_sigma.ndim == 1:
-            noise_sigma = jnp.diag(noise_sigma)
         if noise_sigma.shape[0] != nd:
             raise ValueError(
                 f"noise_stddev must have leading dim {nd}, got "

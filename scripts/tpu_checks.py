@@ -282,6 +282,31 @@ def costate_kernel(n=51, t_end=0.12):
           f"steps {int(r1.steps)}=={int(r2.steps)}")
 
 
+def fused_noise(n=51, t_end=0.15):
+    """Diagonal Gaussian noise fused as in-kernel second differences
+    (VERDICT r4 #8) vs the XLA sum_terms path through real Mosaic."""
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], n,
+                       periodic_dims=[2])
+    xs = grid.mesh_broadcastable(jnp.float32)
+    v = cylinder(grid, ignore_axes=[2], radius=5.0) \
+        + 0.5 * jnp.sin(xs[2]) * jnp.cos(0.3 * xs[0])
+    system = DubinsRel(v_e=5.0, v_p=5.0, w_bound=1.0)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    sg = jnp.array([0.3, 0.2, 0.1], jnp.float32)
+    kw = dict(accuracy="veryHigh", rk_order=2, epsilon_method="constant")
+    r1 = solve(grid, system, v, tau, cfg=SchemeConfig(use_pallas=False,
+                                                      **kw),
+               noise_stddev=sg, save_all=False)
+    r2 = solve(grid, system, v, tau, cfg=SchemeConfig(use_pallas=True,
+                                                      **kw),
+               noise_stddev=sg, save_all=False)
+    err = np.abs(np.asarray(r1.values) - np.asarray(r2.values)).max()
+    scale = np.abs(np.asarray(r1.values)).max()
+    check("fused diagonal-noise kernel vs xla",
+          err < 1e-4 * scale and int(r1.steps) == int(r2.steps),
+          f"max|diff|={err:.2e} steps {int(r1.steps)}=={int(r2.steps)}")
+
+
 if __name__ == "__main__":
     print("device:", jax.devices()[0], flush=True)
     quick = "--quick" in sys.argv
@@ -296,4 +321,5 @@ if __name__ == "__main__":
     fused_epilogue_batch()
     fused_neighbors_eps()
     costate_kernel()
+    fused_noise()
     sys.exit(1 if FAILED else 0)

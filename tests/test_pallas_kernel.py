@@ -416,3 +416,47 @@ def test_costate_global_dissipation_stays_xla(interpret_pallas):
               cfg=SchemeConfig(accuracy="veryHigh", rk_order=2,
                                use_pallas=True))
     assert bool(jnp.isfinite(r.values).all())
+
+
+def test_fused_noise_diagonal_matches_xla(interpret_pallas):
+    """Diagonal Gaussian noise (1-D stddev) fused into the substep kernel
+    as centered second differences (VERDICT r4 #8) must match the XLA
+    sum_terms path — including the combined hyperbolic+parabolic dt."""
+    from levelsetpy_tpu import solve
+
+    grid, v, system, xs, ops, ab = setup((20, 16, 16))
+    tau = jnp.linspace(0.0, 0.15, 2)
+    kw = dict(accuracy="veryHigh", rk_order=2, epsilon_method="constant")
+    sg = jnp.array([0.3, 0.2, 0.1], jnp.float32)
+    r_x = solve(grid, system, v, tau, cfg=SchemeConfig(**kw),
+                noise_stddev=sg)
+    r_p = solve(grid, system, v, tau, cfg=SchemeConfig(use_pallas=True,
+                                                       **kw),
+                noise_stddev=sg)
+    assert int(r_p.steps) == int(r_x.steps)
+    scale = float(jnp.max(jnp.abs(r_x.values)))
+    np.testing.assert_allclose(np.asarray(r_p.values),
+                               np.asarray(r_x.values), atol=2e-5 * scale)
+    # noise must actually do something (diffusion changes the solve)
+    r_0 = solve(grid, system, v, tau,
+                cfg=SchemeConfig(use_pallas=True, **kw))
+    assert float(jnp.abs(r_p.values[-1] - r_0.values[-1]).max()) > 1e-3
+
+
+def test_fused_noise_matrix_falls_back(interpret_pallas):
+    """A full (nd, m) diffusion matrix keeps the XLA path (mixed-Hessian
+    corner reads) and must still match the vector form when diagonal."""
+    from levelsetpy_tpu import solve
+
+    grid, v, system, xs, ops, ab = setup((16, 14, 12))
+    tau = jnp.linspace(0.0, 0.1, 2)
+    kw = dict(accuracy="veryHigh", rk_order=2, epsilon_method="constant")
+    sg = jnp.array([0.3, 0.2, 0.1], jnp.float32)
+    r_vec = solve(grid, system, v, tau,
+                  cfg=SchemeConfig(use_pallas=True, **kw), noise_stddev=sg)
+    r_mat = solve(grid, system, v, tau,
+                  cfg=SchemeConfig(use_pallas=True, **kw),
+                  noise_stddev=jnp.diag(sg))
+    scale = float(jnp.max(jnp.abs(r_vec.values)))
+    np.testing.assert_allclose(np.asarray(r_mat.values),
+                               np.asarray(r_vec.values), atol=2e-5 * scale)
