@@ -571,6 +571,56 @@ def bench_flock3d(n=71, agents=5, t_end=0.4):
               "(same mesh; no numpy reference)")
 
 
+def bench_rocket4d_sweep(shape=(24, 24, 16, 16), batch=32, t_end=1.0):
+    """4-D scenario sweeps (VERDICT r4 #6 decision record): the winning
+    layout is a LOOP of fused single-grid solves (the packed-lane 4-D
+    substep kernel per scenario, dispatch pipelined) — measured 2.7x the
+    batch-LAST XLA path, because 4-D volumes amortize per-solve dispatch
+    while the batch path stays HBM-bound.  A persistent batch-LAST 4-D
+    kernel was rejected: its (bx+6, by+6, z+6, w+6, 128) slab is ~23 MB at
+    rocket scale (>> VMEM), and blocking z/w would break the in-kernel
+    ghost fill the persistent layout depends on.  vs_baseline = batch-XLA
+    wall / fused-loop wall."""
+    import jax.numpy as jnp
+
+    from levelsetpy_tpu import (RocketSystem, SchemeConfig, create_grid,
+                                cylinder, solve, solve_batch)
+
+    grid = create_grid([-6000, -6000, -300, -300], [6000, 6000, 300, 300],
+                       shape)
+    target = cylinder(grid, ignore_axes=[2, 3], radius=100.0)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    aps = jnp.linspace(48.0, 80.0, batch)
+
+    cfg_b = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=False)
+
+    def run_batch(eps=0.0):
+        r = solve_batch(grid, RocketSystem(a_e=64.0, a_p=aps + eps),
+                        target, tau, cfg=cfg_b, save_all=False)
+        float(jnp.sum(r.values))
+
+    cfg_s = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+
+    def run_loop(eps=0.0):
+        s = 0.0
+        for b in range(batch):
+            r = solve(grid, RocketSystem(a_e=64.0, a_p=aps[b] + eps),
+                      target, tau, cfg=cfg_s, save_all=False)
+            s += jnp.sum(r.values)
+        float(s)
+
+    run_batch()
+    run_loop()
+    wb = min(_timed(lambda e=e: run_batch(e)) for e in (1e-4, 2e-4, 3e-4))
+    wl = min(_timed(lambda e=e: run_loop(e)) for e in (1e-4, 2e-4, 3e-4))
+    emit(f"rocket4d_sweep_{batch}x{'x'.join(map(str, shape))}_T{t_end}",
+         wl, "s", wb / wl, solves_per_s=round(batch / wl, 1),
+         batch_xla_s=round(wb, 4),
+         note="vs_baseline = batch-LAST-XLA wall / fused-single-loop wall "
+              "(the recorded 4-D sweep layout decision; >1 favors the "
+              "loop of per-scenario packed-lane kernels)")
+
+
 def bench_vector_reach_avoid(n=71, t_short=0.2, t_long=1.0):
     """Coupled 2-field reach-avoid through `solve_vector` (VERDICT r4 #5):
     marginal per-step cost of the fused substep-kernel path (per-step
@@ -741,6 +791,8 @@ def main():
         bench_sweep_batchlast(batch=args.sweep_batch)
     if "sweep_batchlast_pallas" not in args.skip:
         bench_sweep_batchlast(batch=args.sweep_batch, use_pallas=True)
+    if "rocket4d_sweep" not in args.skip:
+        bench_rocket4d_sweep()
     if "rocket4d" not in args.skip:
         bench_rocket4d_sharded()
     if "vector" not in args.skip:
