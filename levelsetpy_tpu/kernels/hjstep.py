@@ -680,6 +680,11 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
     evaluates ``system.alpha`` at the CURRENT node-local derivL/derivR
     box; 'local' additionally reads the interval-start global extremes
     from ``gbox`` (see ``terms.costate_alpha_bounds`` for lag semantics).
+    The system's ``opt_control``/``opt_disturbance``/``dynamics`` then run
+    INSIDE the kernel, so they must use Mosaic-lowerable ops — sign, abs,
+    min/max, sqrt, sin/cos and arithmetic are fine; ``atan2`` is NOT
+    (probed 2026-08-21): formulate direction controls as unit vectors
+    ``(p_i/|p|, p_j/|p|)`` instead of angles (faster on the VPU anyway).
 
     ``eps`` is the per-axis WENO epsilon carried across substeps.  For
     ``maxOverGrid`` it is LAGGED: each substep consumes the epsilon

@@ -167,9 +167,14 @@ def system_closures_4d(grid: Grid, system, dtype):
         sys_k = rebuild(params_ref)
         return sys_k.hamiltonian(tt, coords_at(starts, p[0].shape), p)
 
-    def alpha_fn(tt, starts, shape, params_ref, axis):
+    def alpha_fn(tt, starts, shape, params_ref, axis, p_min=None,
+                 p_max=None):
+        # with a box: the generic 4-corner costate-box bound in-kernel
+        # (System.alpha default, ref generic_partial.py:42-51) — the
+        # 4-D leg of VERDICT r4 #1
         sys_k = rebuild(params_ref)
-        return sys_k.alpha(tt, coords_at(starts, shape), None, None, axis)
+        return sys_k.alpha(tt, coords_at(starts, shape), p_min, p_max,
+                           axis)
 
     return flat_params, ham_fn, alpha_fn
 
@@ -201,6 +206,11 @@ def fused_substep_4d(
     fill_y: bool = True,         # in-kernel y ghost fill (disabled when y
                                  # is sharded; z/w are packed lanes and
                                  # always fill in-kernel)
+    costate_alpha: str | None = None,  # 'local'/'locallocal': generic
+                                 # costate-box alphas from the node-local
+                                 # derivL/derivR boxes (see hjstep)
+    gbox=None,                   # (gmin tuple, gmax tuple) global costate
+                                 # extremes per dim — for 'local'
     origin=None,                 # per-axis global index offset (4 traced
                                  # int32) — the shard's block start inside
                                  # shard_map
@@ -224,9 +234,14 @@ def fused_substep_4d(
     need_va = (ca != 0.0) or (epi is not None and epi.needs_va)
     n_ex = len(extras)
     scaled = inv_eps is not None
+    if costate_alpha not in (None, "local", "locallocal"):
+        raise ValueError(f"costate_alpha must be 'local'/'locallocal'/None;"
+                         f" got {costate_alpha!r}")
+    if costate_alpha == "local" and gbox is None:
+        raise ValueError("costate_alpha='local' needs the global box gbox")
 
-    def kernel(eps_ref, inv_ref, sc_ref, params_ref, org_ref, vb_hbm,
-               va_hbm, *rest_io):
+    def kernel(eps_ref, inv_ref, sc_ref, params_ref, org_ref, gbox_ref,
+               vb_hbm, va_hbm, *rest_io):
         ex_hbm = rest_io[:n_ex]
         out_hbm = rest_io[n_ex]
         rest = rest_io[n_ex + 1:]
@@ -326,14 +341,35 @@ def fused_substep_4d(
                  0.5 * (dl2 + dr2), 0.5 * (dl3 + dr3))
             ham = ham_fn(tt, starts, p, params_ref)
             shape = center.shape
-            diss = (0.5 * (dr0 - dl0)
-                    * alpha_fn(tt, starts, shape, params_ref, 0)
-                    + 0.5 * (dr1 - dl1)
-                    * alpha_fn(tt, starts, shape, params_ref, 1)
-                    + 0.5 * (dr2 - dl2)
-                    * alpha_fn(tt, starts, shape, params_ref, 2)
-                    + 0.5 * (dr3 - dl3)
-                    * alpha_fn(tt, starts, shape, params_ref, 3))
+            if costate_alpha is not None:
+                # generic costate-box alphas in-kernel (the 4-D leg of
+                # VERDICT r4 #1; see hjstep for the box semantics)
+                pairs = ((dl0, dr0), (dl1, dr1), (dl2, dr2), (dl3, dr3))
+                bl = tuple(jnp.minimum(l, r) for l, r in pairs)
+                bh = tuple(jnp.maximum(l, r) for l, r in pairs)
+                diss = jnp.zeros(shape, dtype)
+                for ax, (dl, dr) in enumerate(pairs):
+                    if costate_alpha == "local":
+                        p_min = tuple(
+                            bl[j] if j == ax else gbox_ref[j]
+                            for j in range(4))
+                        p_max = tuple(
+                            bh[j] if j == ax else gbox_ref[4 + j]
+                            for j in range(4))
+                    else:
+                        p_min, p_max = bl, bh
+                    a = alpha_fn(tt, starts, shape, params_ref, ax,
+                                 p_min, p_max)
+                    diss = diss + 0.5 * (dr - dl) * a
+            else:
+                diss = (0.5 * (dr0 - dl0)
+                        * alpha_fn(tt, starts, shape, params_ref, 0)
+                        + 0.5 * (dr1 - dl1)
+                        * alpha_fn(tt, starts, shape, params_ref, 1)
+                        + 0.5 * (dr2 - dl2)
+                        * alpha_fn(tt, starts, shape, params_ref, 2)
+                        + 0.5 * (dr3 - dl3)
+                        * alpha_fn(tt, starts, shape, params_ref, 3))
             f = -(ham - diss)
             if restrict == "min":
                 f = jnp.minimum(f, 0.0)
@@ -394,6 +430,7 @@ def fused_substep_4d(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # [t, cd, gamma, mv]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params
             pl.BlockSpec(memory_space=pltpu.SMEM),   # origin
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # gbox (4 mins, 4 maxs)
             pl.BlockSpec(memory_space=pltpu.HBM),    # vb
             pl.BlockSpec(memory_space=pltpu.HBM),    # va
         ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * n_ex,   # extras
@@ -419,6 +456,9 @@ def fused_substep_4d(
         jnp.asarray(params, dtype).reshape(-1),
         (jnp.zeros((4,), jnp.int32) if origin is None
          else jnp.stack([jnp.asarray(o, jnp.int32) for o in origin])),
+        (jnp.zeros((8,), dtype) if gbox is None
+         else jnp.stack([jnp.asarray(s, dtype)
+                         for s in (*gbox[0], *gbox[1])])),
         vb,
         va,
         *extras,
@@ -474,7 +514,7 @@ def initial_epsilon_4d(grid: Grid, cfg, v, ops=None):
 
 def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
                      comp, eps, origin=None, shard=None, extras=(),
-                     gamma=0.0, kene_mv=0.0):
+                     gamma=0.0, kene_mv=0.0, costate_mode=None, gbox=None):
     """One CFL-limited TVD-RK step on the packed 4-D state; returns
     ``(t_new, v_new, eps_new)`` — the 4-D analog of
     ``hjstep.fused_rk_step`` (same lagged-epsilon carry, same
@@ -506,7 +546,8 @@ def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
             extras=extras if fuse_epi is not None else (),
             gamma=gamma, kene_mv=kene_mv,
             restrict=cfg.restrict_update, want_eps=scaled,
-            eps_neighbors=neighbors, fill_y=1 not in smap, origin=origin)
+            eps_neighbors=neighbors, fill_y=1 not in smap,
+            costate_alpha=costate_mode, gbox=gbox, origin=origin)
         if scaled:
             o, d1max = r
             eps_next = 1e-6 * jnp.max(d1max, axis=(1, 2)) + floor

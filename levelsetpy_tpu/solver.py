@@ -161,14 +161,14 @@ def _solve_core(
     )
     have_alpha = use_precomputed or lagged_alpha
     # Generic systems (no analytic alpha at all — the reference's
-    # production default, generic_partial.py:42-51) reach the 3-D fused
-    # substep kernel when the dissipation is node-local: the kernel
+    # production default, generic_partial.py:42-51) reach the 3-D/4-D
+    # fused substep kernels when the dissipation is node-local: the kernel
     # evaluates the costate-box alpha IN-KERNEL from the derivL/derivR it
     # already holds in registers, and only the CFL bound (+ the off-axis
     # global box for 'local') refreshes per tau interval via
     # terms.costate_alpha_bounds (VERDICT r4 #1).
     costate_kernel = (
-        (not have_alpha) and grid.ndim == 3
+        (not have_alpha) and grid.ndim in (3, 4)
         and cfg.dissipation in ("local", "locallocal")
     )
     # DIAGONAL Gaussian noise (1-D stddev — a static shape property of the
@@ -437,8 +437,7 @@ def _solve_core(
                                else hjstep.fused_rk_step)
                     step_kw = {}
                     if costate_kernel:
-                        # in-kernel generic costate-box alphas (3-D only;
-                        # the 4-D costate case never sets fused_ok)
+                        # in-kernel generic costate-box alphas (3-D + 4-D)
                         step_kw["costate_mode"] = cfg.dissipation
                         step_kw["gbox"] = gbox_i
                     if noise_fusable:

@@ -436,8 +436,8 @@ def _norm_discount(n_f, comp_methods, targets, discount_factors,
     modes) with the single-field ``solve`` rules applied per field."""
     if discount_factors is None:
         factors = (None,) * n_f
-    elif jnp.ndim(discount_factors) == 0 and not isinstance(
-            discount_factors, (list, tuple)):
+    elif not isinstance(discount_factors, (list, tuple)) \
+            and jnp.ndim(discount_factors) == 0:
         factors = (discount_factors,) * n_f
     else:
         factors = tuple(discount_factors)

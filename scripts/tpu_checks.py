@@ -282,6 +282,54 @@ def costate_kernel(n=51, t_end=0.12):
           f"steps {int(r1.steps)}=={int(r2.steps)}")
 
 
+def costate_kernel_4d(shape=(24, 24, 16, 16), t_end=0.2):
+    """4-D leg of the generic costate-box path (unit-vector controls —
+    atan2 has no Mosaic lowering) vs XLA, dt pinned by max_step."""
+    from levelsetpy_tpu.systems.base import System, register_system
+
+    @register_system
+    class _GenericRocket4(System):
+        a_e: float = 64.0
+        a_p: float = 64.0
+        n_states = 4
+        u_mode = "max"
+        d_mode = "min"
+
+        def dynamics(self, t, x, u, d):
+            return (x[2], x[3], self.a_e * u[0] - self.a_p * d[0],
+                    self.a_e * u[1] - self.a_p * d[1])
+
+        def _dir(self, p, sign):
+            r = jnp.sqrt(p[2] * p[2] + p[3] * p[3]) + 1e-30
+            return (sign * p[2] / r, sign * p[3] / r)
+
+        def opt_control(self, t, x, p, mode):
+            return self._dir(p, 1.0 if mode == "max" else -1.0)
+
+        def opt_disturbance(self, t, x, p, mode):
+            return self._dir(p, -1.0 if mode == "min" else 1.0)
+
+    grid = create_grid([-600, -600, -60, -60], [600, 600, 60, 60], shape)
+    xs = grid.mesh_broadcastable(jnp.float32)
+    v = cylinder(grid, ignore_axes=[2, 3], radius=100.0) \
+        + 5.0 * jnp.sin(0.01 * xs[2]) * jnp.cos(0.01 * xs[3])
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    kw = dict(accuracy="veryHigh", rk_order=2, dissipation="locallocal",
+              epsilon_method="constant", max_step=0.02)
+    r1 = solve(grid, _GenericRocket4(), v, tau,
+               cfg=SchemeConfig(use_pallas=False, **kw), save_all=False)
+    r2 = solve(grid, _GenericRocket4(), v, tau,
+               cfg=SchemeConfig(use_pallas=True, **kw), save_all=False)
+    d = np.abs(np.asarray(r1.values) - np.asarray(r2.values))
+    scale = np.abs(np.asarray(r1.values)).max()
+    n_bad = int((d > 2e-5 * scale).sum())
+    ok = (n_bad <= 10 and d.max() <= 1e-3 * scale
+          and int(r1.steps) == int(r2.steps))
+    check("costate-box 4-D kernel vs xla", ok,
+          f"max|diff|={d.max():.2e} outliers={n_bad} "
+          f"steps {int(r1.steps)}=={int(r2.steps)}")
+
+
 def fused_noise(n=51, t_end=0.15):
     """Diagonal Gaussian noise fused as in-kernel second differences
     (VERDICT r4 #8) vs the XLA sum_terms path through real Mosaic."""
@@ -321,5 +369,6 @@ if __name__ == "__main__":
     fused_epilogue_batch()
     fused_neighbors_eps()
     costate_kernel()
+    costate_kernel_4d()
     fused_noise()
     sys.exit(1 if FAILED else 0)
