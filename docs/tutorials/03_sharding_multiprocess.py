@@ -61,6 +61,27 @@ assert err < 5e-5  # f32 reduction-order tolerance
 #  * scalars per step already hoist out of the loop for analytic systems
 #    (precomputed alpha/CFL), so scaling is halo-bound, not allreduce-bound.
 
+# --------------------------------- 2b. scenario-parallel sweeps
+# Independent scenarios need NO halos at all: `solve_batch_sharded`
+# splits the trailing batch axis of a batch-LAST sweep over a mesh axis
+# — each device runs its own fused batch kernel over its scenario slab
+# with zero cross-device communication (the multi-chip replacement for
+# the reference's per-scenario rerun loop, hji_solver.py:509).
+from levelsetpy_tpu import solve_batch
+from levelsetpy_tpu.parallel import solve_batch_sharded
+
+bmesh = make_mesh({"b": len(jax.devices())})
+ws = jnp.linspace(0.6, 1.4, 2 * len(jax.devices()))
+batched = DubinsRel(v_e=5.0, v_p=5.0, w_bound=ws)
+r_ref = solve_batch(grid, batched, target, tau, cfg=cfg, save_all=False)
+r_shb = solve_batch_sharded(grid, batched, target, tau, bmesh, cfg=cfg,
+                            save_all=False)
+err_b = float(jnp.abs(r_shb.values - r_ref.values).max())
+print(f"sharded sweep vs single-device max|dV| = {err_b:.2e}")
+# element-exact in f64 (tests/test_parallel_batch.py); in this f32 demo
+# only grid-reduction association differs between batch widths
+assert err_b < 1e-4
+
 # ------------------------------------------------- 3. multi-process
 # Across HOSTS (one process per host, e.g. a TPU pod), the same entry
 # points work on a global mesh built from jax.distributed:
