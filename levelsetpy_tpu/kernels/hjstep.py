@@ -513,20 +513,25 @@ def fused_substep_3d(
                 pairs = ((dl0, dr0), (dl1, dr1), (dl2, dr2))
                 bl = tuple(jnp.minimum(l, r) for l, r in pairs)
                 bh = tuple(jnp.maximum(l, r) for l, r in pairs)
-                diss = jnp.zeros(shape, dtype)
-                for ax, (dl, dr) in enumerate(pairs):
-                    if costate_alpha == "local":
+                if costate_alpha == "locallocal":
+                    # ONE shared box for every axis: all bounds from a
+                    # single 4-corner evaluation (System.alpha_all)
+                    alphas = alpha_fn(tt, starts, shape, params_ref,
+                                      None, bl, bh)
+                    diss = sum(0.5 * (dr - dl) * alphas[ax]
+                               for ax, (dl, dr) in enumerate(pairs))
+                else:
+                    diss = jnp.zeros(shape, dtype)
+                    for ax, (dl, dr) in enumerate(pairs):
                         p_min = tuple(
                             bl[j] if j == ax else gbox_ref[j]
                             for j in range(3))
                         p_max = tuple(
                             bh[j] if j == ax else gbox_ref[3 + j]
                             for j in range(3))
-                    else:
-                        p_min, p_max = bl, bh
-                    a = alpha_fn(tt, starts, shape, params_ref, ax,
-                                 p_min, p_max)
-                    diss = diss + 0.5 * (dr - dl) * a
+                        a = alpha_fn(tt, starts, shape, params_ref, ax,
+                                     p_min, p_max)
+                        diss = diss + 0.5 * (dr - dl) * a
             else:
                 diss = (0.5 * (dr0 - dl0)
                         * alpha_fn(tt, starts, shape, params_ref, 0)

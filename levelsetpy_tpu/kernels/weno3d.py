@@ -128,6 +128,11 @@ def system_closures(grid: Grid, system, dtype):
     def alpha_fn(tt, starts, shape, params_ref, axis, p_min=None,
                  p_max=None):
         sys_k = rebuild(params_ref)
+        if axis is None:
+            # one SHARED box (LLLF): all axes' bounds from one 4-corner
+            # evaluation (System.alpha_all)
+            return sys_k.alpha_all(tt, coords_at(starts, shape), p_min,
+                                   p_max)
         return sys_k.alpha(tt, coords_at(starts, shape), p_min, p_max,
                            axis)
 

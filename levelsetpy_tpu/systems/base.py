@@ -160,6 +160,30 @@ class System:
             a = f_axis if a is None else jnp.maximum(a, f_axis)
         return a
 
+    def alpha_all(self, t, x: Sequence, p_min: Sequence,
+                  p_max: Sequence) -> tuple:
+        """All per-axis dissipation bounds for ONE shared costate box —
+        the LLLF fast path: every axis uses the same node-local box, so
+        the 4 corner policies and dynamics evaluations are computed once
+        and all components read off (vs ``n_states`` separate
+        :meth:`alpha` calls re-deriving them).  Same corner order as
+        ``alpha`` (bitwise-identical values).  A subclass that overrides
+        :meth:`alpha` (custom analytic bound) is respected: the default
+        here falls back to per-axis ``alpha`` calls in that case."""
+        if type(self).alpha is not System.alpha:
+            return tuple(self.alpha(t, x, p_min, p_max, i)
+                         for i in range(self.n_states))
+        u_hi = self.opt_control(t, x, p_max, self.u_mode)
+        u_lo = self.opt_control(t, x, p_min, self.u_mode)
+        d_hi = self.opt_disturbance(t, x, p_max, self.d_mode)
+        d_lo = self.opt_disturbance(t, x, p_min, self.d_mode)
+        out = None
+        for u, d in ((u_hi, d_hi), (u_hi, d_lo), (u_lo, d_lo), (u_lo, d_hi)):
+            fa = tuple(jnp.abs(fi) for fi in self.dynamics(t, x, u, d))
+            out = fa if out is None else tuple(
+                jnp.maximum(o, f) for o, f in zip(out, fa))
+        return out
+
     # ------------------------------------------------------------ trajectory
     def step_state(self, t, state: jnp.ndarray, u, d, dt) -> jnp.ndarray:
         """One RK4 step of the closed-loop state (for trajectory extraction;

@@ -508,12 +508,28 @@ def hj_rhs(
         step_bound = alpha_bounds.step_bound
     else:
         sb_inv = 0.0
-        for axis in range(nd):
-            p_min, p_max = _deriv_bounds(deriv_l, deriv_r, cfg.dissipation,
-                                         axis, ops.reduce_max, ops.reduce_min)
-            a = system.alpha(t, xs, p_min, p_max, axis)
-            diss = diss + 0.5 * (deriv_r[axis] - deriv_l[axis]) * a
-            sb_inv = sb_inv + ops.reduce_max(a) / grid.dx[axis]
+        if cfg.dissipation == "locallocal":
+            # every axis shares ONE node-local box: all bounds from a
+            # single 4-corner evaluation (System.alpha_all)
+            p_min = tuple(jnp.minimum(l, r)
+                          for l, r in zip(deriv_l, deriv_r))
+            p_max = tuple(jnp.maximum(l, r)
+                          for l, r in zip(deriv_l, deriv_r))
+            alphas = system.alpha_all(t, xs, p_min, p_max)
+            for axis in range(nd):
+                diss = diss + 0.5 * (deriv_r[axis] - deriv_l[axis]) \
+                    * alphas[axis]
+                sb_inv = sb_inv + ops.reduce_max(alphas[axis]) \
+                    / grid.dx[axis]
+        else:
+            for axis in range(nd):
+                p_min, p_max = _deriv_bounds(deriv_l, deriv_r,
+                                             cfg.dissipation, axis,
+                                             ops.reduce_max,
+                                             ops.reduce_min)
+                a = system.alpha(t, xs, p_min, p_max, axis)
+                diss = diss + 0.5 * (deriv_r[axis] - deriv_l[axis]) * a
+                sb_inv = sb_inv + ops.reduce_max(a) / grid.dx[axis]
         step_bound = 1.0 / sb_inv
 
     v_dot = -(ham - diss)
