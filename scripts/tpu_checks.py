@@ -330,6 +330,29 @@ def costate_kernel_4d(shape=(24, 24, 16, 16), t_end=0.2):
           f"steps {int(r1.steps)}=={int(r2.steps)}")
 
 
+def sharded_batch(n=31, B=128, t_end=0.25):
+    """solve_batch_sharded at mesh size 1 (fused batch kernel per shard)
+    must be bit-identical to the single-device sweep (zero collectives;
+    mesh>1 runs on the CPU virtual mesh in tests/test_parallel_batch.py)."""
+    from levelsetpy_tpu import solve_batch
+    from levelsetpy_tpu.parallel import make_mesh, solve_batch_sharded
+
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi], n,
+                       periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], radius=5.0)
+    sys_ = DubinsRel(v_e=5.0, v_p=5.0,
+                     w_bound=jnp.linspace(0.5, 1.9, B))
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2, use_pallas=True)
+    ref = solve_batch(grid, sys_, target, tau, cfg=cfg, save_all=False)
+    res = solve_batch_sharded(grid, sys_, target, tau, make_mesh({"b": 1}),
+                              cfg=cfg, save_all=False)
+    d = float(jnp.abs(res.values - ref.values).max())
+    scale = float(jnp.abs(ref.values).max())
+    check("sharded batch sweep (mesh=1) vs single-device",
+          d < 1e-6 * scale, f"max|diff|={d:.2e}")
+
+
 def fused_noise(n=51, t_end=0.15):
     """Diagonal Gaussian noise fused as in-kernel second differences
     (VERDICT r4 #8) vs the XLA sum_terms path through real Mosaic."""
@@ -371,4 +394,5 @@ if __name__ == "__main__":
     costate_kernel()
     costate_kernel_4d()
     fused_noise()
+    sharded_batch()
     sys.exit(1 if FAILED else 0)
