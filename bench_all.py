@@ -261,17 +261,20 @@ def bench_generic_costate(n=101, t_end=0.5):
     system = GenericPursuit(v_e=5.0, v_p=5.0, w_bound=1.0)
     tau = jnp.array([0.0, t_end], jnp.float32)
 
-    def run(flag):
+    def run(flag, eps=0.0):
         cfg = SchemeConfig(accuracy="veryHigh", rk_order=2,
                            dissipation="local", use_pallas=flag)
-        r = solve(grid, system, target, tau, cfg=cfg, save_all=False)
+        r = solve(grid, system, target + eps, tau, cfg=cfg, save_all=False)
         float(jnp.sum(r.values))
         return r
 
     res = run(True)
     run(False)
-    fused_s = _best_of(lambda: run(True))
-    xla_s = _best_of(lambda: run(False))
+    # unique inputs per timing call (remote result cache; CLAUDE.md)
+    fused_s = min(_timed(lambda e=e: run(True, e))
+                  for e in (1e-5, 2e-5, 3e-5))
+    xla_s = min(_timed(lambda e=e: run(False, e))
+                for e in (4e-5, 5e-5, 6e-5))
     emit(f"air3d_{n}cube_generic_costate_llf_T{t_end}", fused_s, "s",
          xla_s / fused_s, steps=int(res.steps),
          xla_s=round(xla_s, 4),
@@ -432,9 +435,13 @@ def bench_rocket4d_sharded(shape=(48, 48, 24, 24), t_end=0.3):
         walls, steps = {}, {}
         for t_e in (t_end, 10 * t_end):
             steps[t_e] = run_marg(sharded, t_e)   # compile + warm
+            # UNIQUE eps per timing call (incl. across outer reps): the
+            # remote result cache serves repeated identical executions at
+            # ~0 s wall (CLAUDE.md timing methodology)
             walls[t_e] = min(
-                min(_timed(lambda e=e, t=t_e: run_marg(sharded, t, e))
-                    for e in (1e-3, 2e-3, 3e-3)) for _ in range(2))
+                min(_timed(lambda e=e + rep * 4e-3, t=t_e:
+                           run_marg(sharded, t, e))
+                    for e in (1e-3, 2e-3, 3e-3)) for rep in range(2))
         ds = steps[10 * t_end] - steps[t_end]
         margs[sharded] = (walls[10 * t_end] - walls[t_end]) / ds
         n_steps[sharded] = steps[t_end]
@@ -624,8 +631,11 @@ def bench_rocket4d_sweep(shape=(24, 24, 16, 16), batch=32, t_end=1.0):
 def bench_vector_reach_avoid(n=71, t_short=0.2, t_long=1.0):
     """Coupled 2-field reach-avoid through `solve_vector` (VERDICT r4 #5):
     marginal per-step cost of the fused substep-kernel path (per-step
-    lift/lower around the coupling hook) vs the per-RHS-kernel path it
-    replaced.  vs_baseline = RHS-path marginal / fused marginal."""
+    lift/lower around the coupling hook) vs the pure-XLA path
+    (use_pallas=False).  The replaced per-RHS-kernel path is no longer
+    reachable from this front door; its standalone marginal (0.368
+    ms/step at 101^3) is recorded in vector.py's module-docstring A/B.
+    vs_baseline = XLA marginal / fused marginal."""
     import jax.numpy as jnp
 
     from levelsetpy_tpu import (DubinsRel, SchemeConfig, create_grid,
@@ -663,10 +673,11 @@ def bench_vector_reach_avoid(n=71, t_short=0.2, t_long=1.0):
         n_steps[flag] = steps[t_long]
     emit(f"vector_reach_avoid_{n}cube_fused", margs[True] * 1e3,
          "ms/step", margs[False] / margs[True], steps=n_steps[True],
-         rhs_path_ms_per_step=round(margs[False] * 1e3, 4),
-         note="vs_baseline = per-RHS-kernel marginal / fused-substep "
-              "marginal for the coupled 2-field solve (>1: the vector "
-              "lift/lower A/B winner pays off)")
+         xla_path_ms_per_step=round(margs[False] * 1e3, 4),
+         note="vs_baseline = pure-XLA marginal / fused-substep marginal "
+              "for the coupled 2-field solve (>1: the vector lift/lower "
+              "A/B winner pays off; the replaced per-RHS-kernel path's "
+              "marginal is in vector.py's recorded A/B)")
 
 
 def bench_replanning(n=51, horizon=1.0):

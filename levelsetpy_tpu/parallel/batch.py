@@ -26,24 +26,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..grid import Grid
-from ..solver import SolveResult, solve_batch
+from ..solver import (SolveResult, _replicate_last_leading as _pad_leading,
+                      _replicate_last_trailing as _pad_trailing,
+                      solve_batch)
 from ..systems.base import System
 from ..terms import SchemeConfig
 
 __all__ = ["solve_batch_sharded"]
-
-
-def _pad_leading(arr, n_pad):
-    """Replicate the final leading-axis element ``n_pad`` times."""
-    return jnp.concatenate(
-        [arr, jnp.broadcast_to(arr[-1:], (n_pad, *arr.shape[1:]))])
-
-
-def _pad_trailing(arr, n_pad):
-    """Replicate the final trailing-axis element ``n_pad`` times."""
-    return jnp.concatenate(
-        [arr, jnp.broadcast_to(arr[..., -1:], (*arr.shape[:-1], n_pad))],
-        axis=-1)
 
 
 def solve_batch_sharded(

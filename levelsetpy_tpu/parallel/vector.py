@@ -25,7 +25,7 @@ from ..grid import Grid
 from ..terms import SchemeConfig
 from ..values import eval_u
 from ..vector import (VectorSolveResult, _norm_discount, _norm_fields,
-                      _solve_vector_core)
+                      _norm_stop, _solve_vector_core)
 from .solver import local_coords, local_grid, shard_ops
 
 __all__ = ["solve_vector_sharded"]
@@ -88,23 +88,9 @@ def solve_vector_sharded(
     gammas, has_discount, discount_modes = _norm_discount(
         len(v0s), comp_methods, targets, discount_factors, discount_modes,
         dtype)
-    if stop_set_include is not None and stop_set_intersect is not None:
-        raise ValueError(
-            "stop_set_include and stop_set_intersect are mutually exclusive")
-    stop_set = (stop_set_include if stop_set_include is not None
-                else stop_set_intersect)
-    stop_set_mode = None
-    if stop_set is not None:
-        stop_set = jnp.asarray(stop_set, dtype)
-        if stop_set.shape != grid.shape:
-            raise ValueError(
-                f"stop set shape {stop_set.shape} != grid {grid.shape}")
-        stop_set_mode = ("include" if stop_set_include is not None
-                         else "intersect")
-    if not 0 <= stop_field < len(v0s):
-        raise ValueError(f"stop_field {stop_field} out of range")
-    stop_state = (jnp.asarray(stop_init, dtype)
-                  if stop_init is not None else jnp.zeros((), dtype))
+    stop_state, stop_set, stop_set_mode = _norm_stop(
+        grid, len(v0s), dtype, stop_init, stop_field,
+        stop_set_include, stop_set_intersect)
 
     run = _sharded_vector_run(
         grid, cfg, comp_methods, len(v0s),

@@ -443,12 +443,15 @@ def _solve_core(
                     if noise_fusable:
                         # diagonal trace-Hessian term in-kernel (3-D only)
                         step_kw["noise_c"] = noise_c
-                    if (grid.ndim == 3
+                    if (grid.ndim == 3 and have_alpha
                             and getattr(system, "alpha_via_operands",
                                         False)):
                         # systems with expensive alphas (flock member
                         # maxima) trade 3 DMA streams for the in-kernel
-                        # re-evaluation (VERDICT r3 #2)
+                        # re-evaluation (VERDICT r3 #2).  have_alpha gate:
+                        # in costate mode the kernel derives its alphas
+                        # from the node-local boxes — operand streams
+                        # would conflict (fused_substep_3d rejects both)
                         step_kw["alpha_ops"] = tuple(
                             lift(fgrid, jnp.broadcast_to(
                                 a, fgrid.shape).astype(v0.dtype))
@@ -901,6 +904,20 @@ def _cached_batch_run(grid, cfg, comp_method, n_batch, discount_mode,
     return run
 
 
+def _replicate_last_leading(arr, n_pad):
+    """Replicate the final leading-axis element ``n_pad`` times (scenario
+    clone padding; shared by solve_batch and parallel.solve_batch_sharded)."""
+    return jnp.concatenate(
+        [arr, jnp.broadcast_to(arr[-1:], (n_pad, *arr.shape[1:]))])
+
+
+def _replicate_last_trailing(arr, n_pad):
+    """Replicate the final trailing-axis element ``n_pad`` times."""
+    return jnp.concatenate(
+        [arr, jnp.broadcast_to(arr[..., -1:], (*arr.shape[:-1], n_pad))],
+        axis=-1)
+
+
 def solve_batch(
     grid: Grid,
     system: System,
@@ -1075,17 +1092,13 @@ def solve_batch(
     if cfg.use_pallas and pad_n and grid.ndim == 3:
         def _pad_leaf(leaf):
             if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == n_true:
-                return jnp.concatenate(
-                    [leaf, jnp.broadcast_to(leaf[-1:],
-                                            (pad_n, *leaf.shape[1:]))])
+                return _replicate_last_leading(leaf, pad_n)
             return leaf
 
         def _pad_last(arr):
             # trailing-batch operand: replicate the final scenario lane
             if arr is not None and arr.shape[-1] == n_true:
-                return jnp.concatenate(
-                    [arr, jnp.broadcast_to(
-                        arr[..., -1:], (*arr.shape[:-1], pad_n))], axis=-1)
+                return _replicate_last_trailing(arr, pad_n)
             return arr
 
         # count the fused-epilogue operand streams the solve will carry so

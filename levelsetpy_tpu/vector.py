@@ -470,6 +470,31 @@ def _norm_discount(n_f, comp_methods, targets, discount_factors,
     return gammas, has, modes
 
 
+def _norm_stop(grid, n_fields, dtype, stop_init, stop_field,
+               stop_set_include, stop_set_intersect):
+    """Shared stop-criteria normalization for both vector front doors
+    (single-device and sharded).  Returns ``(stop_state, stop_set,
+    stop_set_mode)`` with the single-field ``solve`` validation rules."""
+    if stop_set_include is not None and stop_set_intersect is not None:
+        raise ValueError(
+            "stop_set_include and stop_set_intersect are mutually exclusive")
+    stop_set = (stop_set_include if stop_set_include is not None
+                else stop_set_intersect)
+    stop_set_mode = None
+    if stop_set is not None:
+        stop_set = jnp.asarray(stop_set, dtype)
+        if stop_set.shape != grid.shape:
+            raise ValueError(
+                f"stop set shape {stop_set.shape} != grid {grid.shape}")
+        stop_set_mode = ("include" if stop_set_include is not None
+                         else "intersect")
+    if not 0 <= stop_field < n_fields:
+        raise ValueError(f"stop_field {stop_field} out of range")
+    stop_state = (jnp.asarray(stop_init, dtype)
+                  if stop_init is not None else jnp.zeros((), dtype))
+    return stop_state, stop_set, stop_set_mode
+
+
 @functools.lru_cache(maxsize=32)
 def _cached_vector_run(grid, cfg, comp_methods, n_f, has_obs, has_tgt,
                        coupling, converge_threshold, save_all,
@@ -554,23 +579,9 @@ def solve_vector(
     gammas, has_discount, discount_modes = _norm_discount(
         len(v0s), comp_methods, targets, discount_factors, discount_modes,
         dtype)
-    if stop_set_include is not None and stop_set_intersect is not None:
-        raise ValueError(
-            "stop_set_include and stop_set_intersect are mutually exclusive")
-    stop_set = (stop_set_include if stop_set_include is not None
-                else stop_set_intersect)
-    stop_set_mode = None
-    if stop_set is not None:
-        stop_set = jnp.asarray(stop_set, dtype)
-        if stop_set.shape != grid.shape:
-            raise ValueError(
-                f"stop set shape {stop_set.shape} != grid {grid.shape}")
-        stop_set_mode = ("include" if stop_set_include is not None
-                         else "intersect")
-    if not 0 <= stop_field < len(v0s):
-        raise ValueError(f"stop_field {stop_field} out of range")
-    stop_state = (jnp.asarray(stop_init, dtype)
-                  if stop_init is not None else jnp.zeros((), dtype))
+    stop_state, stop_set, stop_set_mode = _norm_stop(
+        grid, len(v0s), dtype, stop_init, stop_field,
+        stop_set_include, stop_set_intersect)
 
     from .terms import _batched, resolve_pallas
 

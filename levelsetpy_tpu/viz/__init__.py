@@ -135,10 +135,26 @@ def plot_grid(grids, ax=None, colors=None, annotate=False):
             ax.plot(axes[0], np.zeros_like(axes[0]), ".", color=c)
             ax.plot([g.lo[0], g.hi[0]], [0.0, 0.0], "-", color=c)
         elif ndim == 3:
-            xx, yy, zz = np.meshgrid(*axes, indexing="ij")
-            stride = max(1, g.shape[0] // 10)
-            ax.plot_wireframe(xx[:, :, 0], yy[:, :, 0], zz[:, :, 0],
-                              rstride=stride, cstride=stride, color=c)
+            # subsampled node lattice + the bounding-box edges (a full
+            # nx*ny*nz wireframe would be unreadable and slow)
+            stride = [max(1, g.shape[d] // 8) for d in range(3)]
+            xx, yy, zz = np.meshgrid(axes[0][::stride[0]],
+                                     axes[1][::stride[1]],
+                                     axes[2][::stride[2]], indexing="ij")
+            ax.scatter(xx.ravel(), yy.ravel(), zz.ravel(), s=2, color=c,
+                       depthshade=False)
+            lo = np.asarray(g.lo)
+            hi = np.asarray(g.hi)
+            for d in range(3):  # 4 box edges parallel to each axis
+                o = [a for a in range(3) if a != d]
+                for c0 in (lo[o[0]], hi[o[0]]):
+                    for c1 in (lo[o[1]], hi[o[1]]):
+                        pts = np.zeros((2, 3))
+                        pts[:, d] = [lo[d], hi[d]]
+                        pts[:, o[0]] = c0
+                        pts[:, o[1]] = c1
+                        ax.plot(pts[:, 0], pts[:, 1], pts[:, 2], "-",
+                                color=c, linewidth=0.8)
             ax.set_zlabel("z")
         else:  # 2-D, or >3-D projected onto the first two axes
             xx, yy = np.meshgrid(axes[0], axes[1], indexing="ij")

@@ -460,3 +460,23 @@ def test_fused_noise_matrix_falls_back(interpret_pallas):
     scale = float(jnp.max(jnp.abs(r_vec.values)))
     np.testing.assert_allclose(np.asarray(r_mat.values),
                                np.asarray(r_vec.values), atol=2e-5 * scale)
+
+
+def test_costate_with_alpha_via_operands_flag(interpret_pallas):
+    """REGRESSION (r5 review): a system with alpha_via_operands=True but
+    NO time-invariant alpha used to crash at trace time in costate mode
+    (the solver filled both costate_mode and alpha_ops; the kernel
+    rejects the combination).  The costate path must win and solve."""
+    from levelsetpy_tpu import solve
+
+    grid, v, _ = generic_setup((12, 12, 12))
+
+    @register_system
+    class OperandsPursuit(GenericPursuit):
+        alpha_via_operands = True     # advisory flag, no analytic alpha
+
+    system = OperandsPursuit(v_e=5.0, v_p=5.0, w_bound=1.0)
+    r = solve(grid, system, v, jnp.array([0.0, 0.1]),
+              cfg=SchemeConfig(accuracy="veryHigh", rk_order=2,
+                               dissipation="local", use_pallas=True))
+    assert bool(jnp.isfinite(r.values).all())
