@@ -100,6 +100,65 @@ def solve_stats(n: int, t_end: float, shards: int, shards_y: int = 0,
     return stats
 
 
+def sweep_stats(n: int, t_end: float, shards: int, mesh=None) -> dict:
+    """Scenario-parallel sweep over a (possibly process-spanning) batch
+    mesh: ``solve_batch_sharded`` with the trailing scenario axis split
+    over every device of every host — ZERO collectives (the multi-host
+    replacement for the reference's per-scenario rerun loop).  Returns
+    replicated per-scenario checksums every process can read."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from levelsetpy_tpu import (DubinsRel, SchemeConfig, create_grid,
+                                cylinder)
+    from levelsetpy_tpu.parallel import (make_global_mesh,
+                                         solve_batch_sharded)
+
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       [n, n, max(n // 2, 8)], periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], radius=5.0)
+    B = 2 * shards
+    system = DubinsRel(v_e=5.0, v_p=5.0,
+                       w_bound=jnp.linspace(0.5, 1.9, B))
+    if mesh is None:
+        mesh = make_global_mesh({"b": shards})
+
+    def run():
+        t0 = time.perf_counter()
+        r = solve_batch_sharded(
+            grid, system, target, jnp.array([0.0, t_end], jnp.float32),
+            mesh=mesh, cfg=SchemeConfig(accuracy="veryHigh", rk_order=2),
+            save_all=False)
+        jax.block_until_ready(r.values)
+        return r, time.perf_counter() - t0
+
+    res, compile_s = run()
+    res, solve_s = run()
+    vals = res.values
+    return {
+        "steps": int(res.steps),
+        "max_abs": float(jnp.max(jnp.abs(vals))),
+        "sum": float(jnp.sum(vals.astype(jnp.float64))),
+        "volume": float(jnp.mean((vals <= 0).astype(jnp.float32))),
+        # replicate the (B,)-sharded per-scenario sums so every process
+        # can read all of them (out_shardings=P() -> allgather)
+        "per_scenario_sum": np.asarray(jax.jit(
+            lambda v: jnp.sum(v.astype(jnp.float64),
+                              axis=tuple(range(v.ndim - 1))),
+            out_shardings=jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))(vals)).tolist(),
+        "processes": jax.process_count(),
+        "devices": len(jax.devices()),
+        "mesh": {k: int(v) for k, v in
+                 zip(mesh.axis_names, mesh.devices.shape)},
+        "compile_s": round(compile_s, 3),
+        "solve_s": round(solve_s, 4),
+    }
+
+
 def run_child(args) -> None:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -112,7 +171,10 @@ def run_child(args) -> None:
                      process_id=args.process_id)
     import jax
 
-    stats = solve_stats(args.n, args.t_end, args.shards, args.shards_y)
+    if args.sweep:
+        stats = sweep_stats(args.n, args.t_end, args.shards)
+    else:
+        stats = solve_stats(args.n, args.t_end, args.shards, args.shards_y)
     print(f"[proc {jax.process_index()}] {stats}", flush=True)
     if args.out:
         # every process writes its own record (per-process timings); the
@@ -123,8 +185,9 @@ def run_child(args) -> None:
 
 def run_spawn(args) -> None:
     """CPU rehearsal: K processes vs 1 process must agree."""
+    kind = "sweep_" if args.sweep else ""
     out = ROOT / "benchmarks" / (
-        f"multiprocess_stats_{args.spawn}p_{args.shards}x"
+        f"multiprocess_{kind}stats_{args.spawn}p_{args.shards}x"
         f"{max(args.shards_y, 1)}.json")
     port = 12421 + (args.spawn * 7 + args.shards_y) % 101  # avoid reuse
     procs = []
@@ -136,7 +199,7 @@ def run_spawn(args) -> None:
                "--n", str(args.n), "--t-end", str(args.t_end),
                "--shards", str(args.shards),
                "--shards-y", str(args.shards_y),
-               "--out", str(out)]
+               "--out", str(out)] + (["--sweep"] if args.sweep else [])
         env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
         procs.append(subprocess.Popen(cmd, env=env))
     for p in procs:
@@ -152,13 +215,21 @@ def run_spawn(args) -> None:
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_force_host_platform_device_count="
                                  f"{n_dev}").strip()
-    single = solve_stats(args.n, args.t_end, args.shards, args.shards_y)
+    if args.sweep:
+        single = sweep_stats(args.n, args.t_end, args.shards)
+    else:
+        single = solve_stats(args.n, args.t_end, args.shards,
+                             args.shards_y)
     print(f"[single]  {single}")
     print(f"[multi ]  {multi}")
     assert multi["steps"] == single["steps"], "step counts diverge"
     for k in ("max_abs", "sum", "volume"):
         rel = abs(multi[k] - single[k]) / max(abs(single[k]), 1e-12)
         assert rel < 1e-5, f"{k} diverges: {multi[k]} vs {single[k]}"
+    if args.sweep:
+        for a, b in zip(multi["per_scenario_sum"],
+                        single["per_scenario_sum"]):
+            assert abs(a - b) / max(abs(b), 1e-12) < 1e-5, (a, b)
     # aggregate artifact: replicated stats + per-process wall clocks
     record = {**{k: multi[k] for k in ("steps", "max_abs", "sum", "volume",
                                        "processes", "devices", "mesh")},
@@ -188,6 +259,9 @@ def main():
     ap.add_argument("--spawn", type=int, default=0,
                     help="CPU rehearsal: spawn K processes and verify "
                          "against single-process")
+    ap.add_argument("--sweep", action="store_true",
+                    help="scenario-parallel solve_batch_sharded sweep "
+                         "instead of the domain-decomposed solve")
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--coordinator", default=None)

@@ -56,3 +56,15 @@ def test_two_axis_process_spanning_mesh():
     rec = json.loads(stats.read_text())
     assert rec["mesh"] == {"x": 4, "y": 2}
     assert len(rec["per_process"]) == 4
+
+
+def test_two_process_sweep_matches_single():
+    """Scenario-parallel solve_batch_sharded over a process-spanning batch
+    mesh (zero collectives): per-scenario checksums must match the
+    single-process sweep."""
+    proc = _spawn(2, "--n", 16, "--t-end", 0.15, "--shards", 4,
+                  "--local-devices", 2, "--sweep")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "OK: 2-process solve matches single-process" in proc.stdout
+    stats = (ROOT / "benchmarks" / "multiprocess_sweep_stats_2p_4x1.json")
+    assert stats.exists()
