@@ -125,14 +125,16 @@ class SchemeConfig:
     #: violating substep costs a host callback round trip.
     check_cfl: bool = False
     #: route the solve through the fused Pallas kernels when eligible
-    #: (see kernels/).  ``None`` (default) AUTO-DETECTS: True on a TPU
-    #: backend, False elsewhere — a plain ``solve`` on TPU gets the fused
-    #: substep kernels without any flag; ineligible configs fall back
-    #: silently either way.  Set True/False to force.
+    #: (see kernels/).  ``None`` (default) AUTO-DETECTS: resolves to the
+    #: truthy ``"auto"`` on a TPU backend (False elsewhere) — a plain
+    #: ``solve`` on TPU gets the fused substep kernels without any flag,
+    #: EXCEPT where a kernel is a measured loser (2-D, BENCH_ALL
+    #: ``weno2d_kernel`` 0.92x: auto stays XLA).  Set True to force every
+    #: eligible kernel, False to force the XLA path.
     #: (A packed-lane layout variant was A/B-tested 2026-08-19 and removed:
     #: its strided lane rotations cost more than the ~14% junk lanes they
     #: eliminated — 0.433 vs 0.302 ms/step on v5e at 101^3.)
-    use_pallas: bool | None = None
+    use_pallas: bool | str | None = None
 
     def deriv(self):
         return upwind_fn(self.accuracy)[0]
@@ -165,11 +167,17 @@ def _tpu_backend() -> bool:
 
 
 def resolve_pallas(cfg: "SchemeConfig") -> "SchemeConfig":
-    """Resolve ``use_pallas=None`` (auto) to a concrete bool: fused Pallas
-    kernels ON for TPU backends, OFF elsewhere.  Every solve entry point
-    calls this once, before the config enters any jit cache key."""
+    """Resolve ``use_pallas=None`` (auto): ``"auto"`` on TPU backends,
+    ``False`` elsewhere.  Every solve entry point calls this once, before
+    the config enters any jit cache key.
+
+    ``"auto"`` is truthy (eligible paths route through the kernels) but
+    lets per-grid gates pick the measured winner — the 2-D RHS kernel
+    LOSES to XLA (BENCH_ALL ``weno2d_kernel_101sq`` 0.92x), so auto keeps
+    2-D solves on the XLA path; pass ``use_pallas=True`` to force it."""
     if cfg.use_pallas is None:
-        return dataclasses.replace(cfg, use_pallas=_tpu_backend())
+        return dataclasses.replace(
+            cfg, use_pallas="auto" if _tpu_backend() else False)
     return cfg
 
 
@@ -250,6 +258,11 @@ def pallas_eligible(grid: Grid, cfg: "SchemeConfig", *trees) -> bool:
             and cfg.accuracy in ("veryHigh", "weno5")
             and cfg.epsilon_method in ("constant", "maxOverGrid",
                                        "maxOverNeighbors")):
+        return False
+    if grid.ndim == 2 and cfg.use_pallas == "auto":
+        # the 2-D plane kernel measures SLOWER than the XLA path
+        # (BENCH_ALL weno2d_kernel row, 0.92x) — auto picks the winner;
+        # an explicit use_pallas=True still forces the kernel
         return False
     if _batched(*trees):
         return False

@@ -519,3 +519,28 @@ class TestUsePallasAutoDefault:
                   jnp.array([0.0, 0.1]),
                   cfg=SchemeConfig(accuracy="medium", rk_order=2))
         assert np.isfinite(np.asarray(r.values)).all()
+
+
+class TestResolvePallas:
+    """use_pallas auto-detection picks measured winners per grid dim."""
+
+    def test_auto_skips_2d_kernel(self, monkeypatch):
+        import levelsetpy_tpu.terms as terms
+        from levelsetpy_tpu import SchemeConfig, create_grid
+
+        monkeypatch.setattr(terms, "_tpu_backend", lambda: True)
+        cfg = terms.resolve_pallas(SchemeConfig())
+        assert cfg.use_pallas == "auto"
+        g2 = create_grid([-1, -1], [1, 1], 32)
+        g3 = create_grid([-1, -1, -1], [1, 1, 1], 32)
+        v2 = jnp.zeros(g2.shape)
+        v3 = jnp.zeros(g3.shape)
+        # auto: the 2-D plane kernel is a recorded loser -> XLA; 3-D wins
+        assert not terms.pallas_eligible(g2, cfg, v2)
+        assert terms.pallas_eligible(g3, cfg, v3)
+        # explicit True still forces the 2-D kernel
+        forced = SchemeConfig(use_pallas=True)
+        assert terms.pallas_eligible(g2, forced, v2)
+        # explicit False forces XLA everywhere
+        off = terms.resolve_pallas(SchemeConfig(use_pallas=False))
+        assert not terms.pallas_eligible(g3, off, v3)
