@@ -480,3 +480,31 @@ def test_costate_with_alpha_via_operands_flag(interpret_pallas):
               cfg=SchemeConfig(accuracy="veryHigh", rk_order=2,
                                dissipation="local", use_pallas=True))
     assert bool(jnp.isfinite(r.values).all())
+
+
+def test_costate_kernel_with_epilogue(interpret_pallas):
+    """Generic costate-box alphas COMBINED with the fused per-step
+    epilogue (obstacle + running target + Jaime discount) — the two
+    features share the final substep; parity vs the XLA path with
+    max_step-pinned dt."""
+    from levelsetpy_tpu import cylinder, solve
+
+    grid, v, system = generic_setup()
+    obstacle = cylinder(grid, center=[8.0, 4.0, 0.0], ignore_axes=[2],
+                        radius=3.0)
+    target = cylinder(grid, ignore_axes=[2], radius=4.0)
+    tau = jnp.linspace(0.0, 0.12, 2)
+    kw = dict(comp_method="minVWithL", targets=target, obstacles=obstacle,
+              discount_factor=0.95)
+    cfg_kw = dict(accuracy="veryHigh", rk_order=2,
+                  dissipation="locallocal", epsilon_method="constant",
+                  max_step=0.004)
+    r_x = solve(grid, system, v, tau, cfg=SchemeConfig(**cfg_kw), **kw)
+    r_p = solve(grid, system, v, tau,
+                cfg=SchemeConfig(use_pallas=True, **cfg_kw), **kw)
+    assert int(r_p.steps) == int(r_x.steps)
+    scale = float(jnp.max(jnp.abs(r_x.values)))
+    assert_close_except_knife_edges(r_p.values, r_x.values,
+                                    atol=2e-5 * scale,
+                                    outlier_atol=1e-3 * scale,
+                                    max_outliers=5)
