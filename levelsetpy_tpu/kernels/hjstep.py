@@ -314,6 +314,13 @@ def fused_substep_3d(
     restrict: str | None = None,  # clamp f sign ('min'/'max'/None)
     block_x: int = 8,
     want_eps: bool = False,
+    want_alpha: bool = False,    # costate mode only: additionally return
+                                 # per-axis masked maxima of the in-kernel
+                                 # alphas, accumulated into a (3, yp, zp)
+                                 # plane stack — feeds the LAGGED CFL
+                                 # bound (one step stale) so long tau
+                                 # intervals cannot outrun the frozen
+                                 # interval-start bound
     eps_neighbors: bool = False,  # per-window O&F (3.38) epsilon built
                                   # in-kernel from the D1 tables (no SMEM
                                   # eps, no reductions — see
@@ -394,6 +401,8 @@ def fused_substep_3d(
         raise ValueError("costate_alpha='local' needs the global box gbox")
     if costate_alpha is not None and n_al:
         raise ValueError("costate_alpha excludes alpha_ops")
+    if want_alpha and costate_alpha is None:
+        raise ValueError("want_alpha is only meaningful in costate mode")
 
     scaled = inv_eps is not None
 
@@ -405,6 +414,8 @@ def fused_substep_3d(
         rest = rest_io[n_ex + n_al + 1:]
         if want_eps:
             epsacc, rest = rest[0], rest[1:]
+        if want_alpha:
+            alphaacc, rest = rest[0], rest[1:]
         (slabs, vas, stages, sems_in, sems_out) = rest[:5]
         exs = rest[5:5 + n_ex]               # one (2, BX, yp, zp) per extra
         als = rest[5 + n_ex:]                # one per precomputed alpha
@@ -414,14 +425,18 @@ def fused_substep_3d(
         mv = sc_ref[3]
         # noise coefficients ride sc_ref[4:7] (zeros when disabled)
 
-        if want_eps:
+        if want_eps or want_alpha:
             iy = jax.lax.broadcasted_iota(jnp.int32, (yp, zp), 0)
             iz = jax.lax.broadcasted_iota(jnp.int32, (yp, zp), 1)
             y_int = (iy >= 3) & (iy < y + 3)
             z_int = (iz >= 3) & (iz < z + 3)
+        if want_eps:
             masks = (y_int & z_int,                          # axis-0 table
                      (iy >= 2) & (iy < y + 4) & z_int,       # axis-1 table
                      y_int & (iz >= 2) & (iz < z + 4))       # axis-2 table
+        if want_alpha:
+            amask = y_int & z_int    # interior nodes only (ghost/junk
+                                     # coords would inflate the bound)
 
         def acc_eps(bi, ax, d1):
             m = jnp.max(d1 * d1, axis=0)
@@ -429,6 +444,13 @@ def fused_substep_3d(
             if bi > 0:
                 m = jnp.maximum(epsacc[ax], m)
             epsacc[ax] = m
+
+        def acc_alpha(bi, ax, a):
+            m = jnp.max(jnp.broadcast_to(a, (block_x, yp, zp)), axis=0)
+            m = jnp.where(amask, m, jnp.zeros_like(m))
+            if bi > 0:
+                m = jnp.maximum(alphaacc[ax], m)
+            alphaacc[ax] = m
 
         if eps_neighbors:
             import math as _math
@@ -520,6 +542,9 @@ def fused_substep_3d(
                                       None, bl, bh)
                     diss = sum(0.5 * (dr - dl) * alphas[ax]
                                for ax, (dl, dr) in enumerate(pairs))
+                    if want_alpha:
+                        for ax in range(3):
+                            acc_alpha(bi, ax, alphas[ax])
                 else:
                     diss = jnp.zeros(shape, dtype)
                     for ax, (dl, dr) in enumerate(pairs):
@@ -531,6 +556,8 @@ def fused_substep_3d(
                             for j in range(3))
                         a = alpha_fn(tt, starts, shape, params_ref, ax,
                                      p_min, p_max)
+                        if want_alpha:
+                            acc_alpha(bi, ax, a)
                         diss = diss + 0.5 * (dr - dl) * a
             else:
                 diss = (0.5 * (dr0 - dl0)
@@ -597,9 +624,15 @@ def fused_substep_3d(
 
     out_specs = pl.BlockSpec(memory_space=pltpu.HBM)
     out_shape = jax.ShapeDtypeStruct((xp, yp, zp), dtype)
-    if want_eps:
-        out_specs = [out_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        out_shape = [out_shape, jax.ShapeDtypeStruct((3, yp, zp), dtype)]
+    if want_eps or want_alpha:
+        out_specs = [out_specs]
+        out_shape = [out_shape]
+        if want_eps:
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((3, yp, zp), dtype))
+        if want_alpha:
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((3, yp, zp), dtype))
     out = pl.pallas_call(
         kernel,
         grid=(),
@@ -664,7 +697,7 @@ def initial_epsilon(grid: Grid, cfg, vq, ops=None):
 def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
                   comp, eps, origin=None, shard=None, extras=(),
                   gamma=0.0, kene_mv=0.0, alpha_ops=(),
-                  costate_mode=None, gbox=None, noise_c=None):
+                  costate_mode=None, gbox=None, noise_c=None, sb=None):
     """One CFL-limited TVD-RK step on the aligned state ``vq`` with the
     solver's per-step epilogue fused into the final substep; returns
     ``(t_new, v_new, eps_new)``.
@@ -685,6 +718,14 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
     evaluates ``system.alpha`` at the CURRENT node-local derivL/derivR
     box; 'local' additionally reads the interval-start global extremes
     from ``gbox`` (see ``terms.costate_alpha_bounds`` for lag semantics).
+    In costate mode pass ``sb`` — the CFL step bound CARRY: this step's
+    dt uses it, and the kernel's own per-substep alpha maxima produce
+    ``sb_next`` for the next step (returned as a 4th element).  The bound
+    is thus one step stale (covered by factor_cfl < 1) instead of frozen
+    for a whole tau interval — a long interval's evolving costate cannot
+    outrun it (the r5 hazard: a zero initial velocity-costate froze a
+    3.5x-too-large dt across a single [0, 3 s] interval).  Seed with the
+    exact interval-start bound (``terms.costate_alpha_bounds``).
     The system's ``opt_control``/``opt_disturbance``/``dynamics`` then run
     INSIDE the kernel, so they must use Mosaic-lowerable ops — sign, abs,
     min/max, sqrt, sin/cos and arithmetic are fine; ``atan2`` is NOT
@@ -715,7 +756,9 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
 
     dtype = vq.dtype
     flat_params, ham_fn, alpha_fn = system_closures(grid, system, dtype)
-    dt = jnp.minimum(cfg.factor_cfl * alpha_bounds.step_bound, t_target - t)
+    want_a = costate_mode is not None and sb is not None
+    bound = sb if want_a else alpha_bounds.step_bound
+    dt = jnp.minimum(cfg.factor_cfl * bound, t_target - t)
     if cfg.max_step != float("inf"):
         dt = jnp.minimum(dt, cfg.max_step)
 
@@ -728,6 +771,8 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
     smap, mesh_names = shard_spec(shard)
     fill_axes = tuple(a for a in (1, 2) if a not in smap)
 
+    alpha_planes = []   # per-substep (3, yp, zp) maxima (costate carry)
+
     def sub(vb, va, eps, tt, cd, ca, cb, fuse_epi):
         r = fused_substep_3d(
             grid, ham_fn, alpha_fn, vb, va, eps, tt,
@@ -736,16 +781,21 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
             extras=extras if fuse_epi is not None else (),
             gamma=gamma, kene_mv=kene_mv,
             restrict=cfg.restrict_update, want_eps=scaled,
+            want_alpha=want_a,
             eps_neighbors=neighbors, alpha_ops=alpha_ops,
             costate_alpha=costate_mode, gbox=gbox, noise_c=noise_c,
             fill_axes=fill_axes, origin=origin)
+        parts = list(r) if isinstance(r, (tuple, list)) else [r]
+        o = parts.pop(0)
         if scaled:
-            o, d1max = r
+            d1max = parts.pop(0)
             eps_next = 1e-6 * jnp.max(d1max, axis=(1, 2)) + floor
             if shard is not None:
                 eps_next = jax.lax.pmax(eps_next, mesh_names)
         else:
-            o, eps_next = r, eps
+            eps_next = eps
+        if want_a:
+            alpha_planes.append(parts.pop(0))
         if shard is not None:
             o = refresh_sharded_axes(grid, o, smap)
             if 0 not in smap:
@@ -770,4 +820,15 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
                          1.0 / 3.0, 2.0 / 3.0, epi)
     else:
         raise ValueError(f"rk_order must be 1, 2 or 3; got {cfg.rk_order}")
+    if want_a:
+        # next step's CFL bound from THIS step's in-kernel alpha maxima
+        # (max over every substep; one step stale)
+        am = alpha_planes[0]
+        for p_ in alpha_planes[1:]:
+            am = jnp.maximum(am, p_)
+        a_ax = jnp.max(am, axis=(1, 2))
+        if shard is not None:
+            a_ax = jax.lax.pmax(a_ax, mesh_names)
+        sb_next = 1.0 / sum(a_ax[i] / grid.dx[i] for i in range(3))
+        return t + dt, v_new, eps, sb_next
     return t + dt, v_new, eps

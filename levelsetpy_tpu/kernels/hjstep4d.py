@@ -206,6 +206,9 @@ def fused_substep_4d(
     restrict: str | None = None,
     block_x: int = 8,
     want_eps: bool = False,
+    want_alpha: bool = False,    # costate mode only: per-axis masked
+                                 # alpha maxima planes for the lagged CFL
+                                 # bound (see hjstep.fused_rk_step)
     eps_neighbors: bool = False,  # per-window O&F (3.38) epsilon in-kernel
     fill_y: bool = True,         # in-kernel y ghost fill (disabled when y
                                  # is sharded; z/w are packed lanes and
@@ -243,6 +246,8 @@ def fused_substep_4d(
                          f" got {costate_alpha!r}")
     if costate_alpha == "local" and gbox is None:
         raise ValueError("costate_alpha='local' needs the global box gbox")
+    if want_alpha and costate_alpha is None:
+        raise ValueError("want_alpha is only meaningful in costate mode")
 
     def kernel(eps_ref, inv_ref, sc_ref, params_ref, org_ref, gbox_ref,
                vb_hbm, va_hbm, *rest_io):
@@ -251,6 +256,8 @@ def fused_substep_4d(
         rest = rest_io[n_ex + 1:]
         if want_eps:
             epsacc, rest = rest[0], rest[1:]
+        if want_alpha:
+            alphaacc, rest = rest[0], rest[1:]
         (slabs, vas, stages, sems_in, sems_out) = rest[:5]
         exs = rest[5:]
         tt = sc_ref[0]
@@ -266,7 +273,7 @@ def fused_substep_4d(
                 return ("neighbors", nb_floor)
             return (eps_ref[ax], inv_ref[ax] if scaled else None)
 
-        if want_eps:
+        if want_eps or want_alpha:
             iy = jax.lax.broadcasted_iota(jnp.int32, (yp, L), 0)
             il = jax.lax.broadcasted_iota(jnp.int32, (yp, L), 1)
             iz = il // wwidth            # no mod: junk lanes get iz >= z+6
@@ -274,10 +281,13 @@ def fused_substep_4d(
             y_int = (iy >= 3) & (iy < y + 3)
             z_int = (iz >= 3) & (iz < z + 3)
             w_int = (iw >= 3) & (iw < w + 3)
+        if want_eps:
             masks = (y_int & z_int & w_int,                       # axis-0
                      (iy >= 2) & (iy < y + 4) & z_int & w_int,    # axis-1
                      y_int & (iz >= 2) & (iz < z + 4) & w_int,    # axis-2
                      y_int & z_int & (iw >= 2) & (iw < w + 4))    # axis-3
+        if want_alpha:
+            amask = y_int & z_int & w_int   # interior nodes only
 
         def acc_eps(bi, ax, d1):
             m = jnp.max(d1 * d1, axis=0)
@@ -285,6 +295,13 @@ def fused_substep_4d(
             if bi > 0:
                 m = jnp.maximum(epsacc[ax], m)
             epsacc[ax] = m
+
+        def acc_alpha(bi, ax, a):
+            m = jnp.max(jnp.broadcast_to(a, (block_x, yp, L)), axis=0)
+            m = jnp.where(amask, m, jnp.zeros_like(m))
+            if bi > 0:
+                m = jnp.maximum(alphaacc[ax], m)
+            alphaacc[ax] = m
 
         def start_x(bi):
             return jnp.minimum(bi * block_x, x - block_x)
@@ -358,6 +375,9 @@ def fused_substep_4d(
                                       None, bl, bh)
                     diss = sum(0.5 * (dr - dl) * alphas[ax]
                                for ax, (dl, dr) in enumerate(pairs))
+                    if want_alpha:
+                        for ax in range(4):
+                            acc_alpha(bi, ax, alphas[ax])
                 else:
                     diss = jnp.zeros(shape, dtype)
                     for ax, (dl, dr) in enumerate(pairs):
@@ -369,6 +389,8 @@ def fused_substep_4d(
                             for j in range(4))
                         a = alpha_fn(tt, starts, shape, params_ref, ax,
                                      p_min, p_max)
+                        if want_alpha:
+                            acc_alpha(bi, ax, a)
                         diss = diss + 0.5 * (dr - dl) * a
             else:
                 diss = (0.5 * (dr0 - dl0)
@@ -427,9 +449,15 @@ def fused_substep_4d(
 
     out_specs = pl.BlockSpec(memory_space=pltpu.HBM)
     out_shape = jax.ShapeDtypeStruct((xp, yp, L), dtype)
-    if want_eps:
-        out_specs = [out_specs, pl.BlockSpec(memory_space=pltpu.VMEM)]
-        out_shape = [out_shape, jax.ShapeDtypeStruct((4, yp, L), dtype)]
+    if want_eps or want_alpha:
+        out_specs = [out_specs]
+        out_shape = [out_shape]
+        if want_eps:
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((4, yp, L), dtype))
+        if want_alpha:
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((4, yp, L), dtype))
     out = pl.pallas_call(
         kernel,
         grid=(),
@@ -523,7 +551,8 @@ def initial_epsilon_4d(grid: Grid, cfg, v, ops=None):
 
 def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
                      comp, eps, origin=None, shard=None, extras=(),
-                     gamma=0.0, kene_mv=0.0, costate_mode=None, gbox=None):
+                     gamma=0.0, kene_mv=0.0, costate_mode=None, gbox=None,
+                     sb=None):
     """One CFL-limited TVD-RK step on the packed 4-D state; returns
     ``(t_new, v_new, eps_new)`` — the 4-D analog of
     ``hjstep.fused_rk_step`` (same lagged-epsilon carry, same
@@ -533,7 +562,9 @@ def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
     mesh-axis name, all mesh axis names)``)."""
     dtype = vq.dtype
     flat_params, ham_fn, alpha_fn = system_closures_4d(grid, system, dtype)
-    dt = jnp.minimum(cfg.factor_cfl * alpha_bounds.step_bound, t_target - t)
+    want_a = costate_mode is not None and sb is not None
+    bound = sb if want_a else alpha_bounds.step_bound
+    dt = jnp.minimum(cfg.factor_cfl * bound, t_target - t)
     if cfg.max_step != float("inf"):
         dt = jnp.minimum(dt, cfg.max_step)
 
@@ -547,6 +578,8 @@ def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
 
     smap, mesh_names = shard_spec(shard)
 
+    alpha_planes = []   # per-substep (4, yp, L) maxima (costate carry)
+
     def sub(vb, va, eps, tt, cd, ca, cb, fuse_epi):
         r = fused_substep_4d(
             grid, ham_fn, alpha_fn, vb, va, eps, tt,
@@ -555,15 +588,20 @@ def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
             extras=extras if fuse_epi is not None else (),
             gamma=gamma, kene_mv=kene_mv,
             restrict=cfg.restrict_update, want_eps=scaled,
+            want_alpha=want_a,
             eps_neighbors=neighbors, fill_y=1 not in smap,
             costate_alpha=costate_mode, gbox=gbox, origin=origin)
+        parts = list(r) if isinstance(r, (tuple, list)) else [r]
+        o = parts.pop(0)
         if scaled:
-            o, d1max = r
+            d1max = parts.pop(0)
             eps_next = 1e-6 * jnp.max(d1max, axis=(1, 2)) + floor
             if shard is not None:
                 eps_next = jax.lax.pmax(eps_next, mesh_names)
         else:
-            o, eps_next = r, eps
+            eps_next = eps
+        if want_a:
+            alpha_planes.append(parts.pop(0))
         if shard is not None:
             o = refresh_sharded_axes(grid, o, smap)
             if 0 not in smap:
@@ -587,4 +625,15 @@ def fused_rk_step_4d(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
                          1.0 / 3.0, 2.0 / 3.0, epi)
     else:
         raise ValueError(f"rk_order must be 1, 2 or 3; got {cfg.rk_order}")
+    if want_a:
+        # lagged CFL bound from this step's in-kernel alpha maxima (see
+        # hjstep.fused_rk_step)
+        am = alpha_planes[0]
+        for p_ in alpha_planes[1:]:
+            am = jnp.maximum(am, p_)
+        a_ax = jnp.max(am, axis=(1, 2))
+        if shard is not None:
+            a_ax = jax.lax.pmax(a_ax, mesh_names)
+        sb_next = 1.0 / sum(a_ax[i] / grid.dx[i] for i in range(4))
+        return t + dt, v_new, eps, sb_next
     return t + dt, v_new, eps

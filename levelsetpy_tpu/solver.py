@@ -457,15 +457,25 @@ def _solve_core(
                                 a, fgrid.shape).astype(v0.dtype))
                             for a in ab_i.alphas)
 
-                    rk_step = lambda t, vq, eps: step_fn(  # noqa: E731
+                    rk_step = lambda t, vq, eps, **kw: step_fn(  # noqa: E731
                         pgrid, cfg, system, t, vq, t1, ab_i,
                         fused_epi, eps, origin=pallas_origin,
                         shard=fused_shard, extras=epi_extras,
-                        gamma=gamma, kene_mv=kene_mv, **step_kw)
+                        gamma=gamma, kene_mv=kene_mv, **step_kw, **kw)
 
                 def body(c):
-                    t, vq, n, ttr, eps = c
-                    t_new, vq_new, eps = rk_step(t, vq, eps)
+                    t, vq, n, ttr, eps, sb = c
+                    if costate_kernel and not use_fused_batch:
+                        # LAGGED CFL bound: the kernel's own per-substep
+                        # alpha maxima bound the NEXT step's dt (one step
+                        # stale; the frozen interval-start bound alone
+                        # cannot track an evolving costate over a long
+                        # interval)
+                        t_new, vq_new, eps, sb = rk_step(
+                            t, vq, eps,
+                            sb=sb)  # type: ignore[call-arg]
+                    else:
+                        t_new, vq_new, eps = rk_step(t, vq, eps)
                     if record_ttr:
                         v_last = lower(fgrid, vq)
                         v_cur = lower(fgrid, vq_new)
@@ -477,7 +487,7 @@ def _solve_core(
                         # lane axis in batch mode
                         ttr = jnp.where(crossed, t + (t_new - t) * frac,
                                         ttr)
-                    return t_new, vq_new, n + 1, ttr, eps
+                    return t_new, vq_new, n + 1, ttr, eps, sb
 
                 vq0 = lift(fgrid, v)
                 if fused_shard is not None and not use_fused_batch:
@@ -497,9 +507,14 @@ def _solve_core(
                 else:
                     eps0 = hjstep.initial_epsilon(pgrid, cfg, vq0,
                                                   ops=ops)
-                _, vq, n, ttr, _ = jax.lax.while_loop(
+                # CFL-bound carry: the exact interval-start bound seeds
+                # the costate lagged refresh; a dummy zero elsewhere
+                sb0 = (ab_i.step_bound
+                       if costate_kernel and not use_fused_batch
+                       else jnp.zeros((), v0.dtype))
+                _, vq, n, ttr, _, _ = jax.lax.while_loop(
                     cond, body,
-                    (t0, vq0, jnp.zeros((), jnp.int32), ttr, eps0))
+                    (t0, vq0, jnp.zeros((), jnp.int32), ttr, eps0, sb0))
                 return lower(fgrid, vq), n, ttr
 
             def body(c):

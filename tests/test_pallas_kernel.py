@@ -508,3 +508,34 @@ def test_costate_kernel_with_epilogue(interpret_pallas):
                                     atol=2e-5 * scale,
                                     outlier_atol=1e-3 * scale,
                                     max_outliers=5)
+
+
+def test_costate_lagged_cfl_bound_tracks_evolution(interpret_pallas):
+    """REGRESSION (r5): a pure cylinder has ZERO theta-costate, so the
+    generic 4-corner alphas at t=0 vanish along theta and the
+    interval-start CFL bound is far too loose; with ONE long tau interval
+    the fused path used to freeze that dt for the whole solve (3.5x the
+    true bound — out of CFL).  The lagged in-kernel alpha maxima must
+    keep the fused step count tracking the XLA path's."""
+    from levelsetpy_tpu import create_grid, cylinder, solve
+
+    grid = create_grid([-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi],
+                       (16, 14, 12), periodic_dims=[2])
+    v = cylinder(grid, ignore_axes=[2], radius=5.0)   # theta-CONSTANT
+    from tests.test_pallas_kernel import GenericPursuit
+
+    system = GenericPursuit(v_e=5.0, v_p=5.0, w_bound=1.0)
+    tau = jnp.array([0.0, 1.5])                       # ONE long interval
+    kw = dict(accuracy="veryHigh", rk_order=2, dissipation="locallocal",
+              epsilon_method="constant")
+    r_x = solve(grid, system, v, tau, cfg=SchemeConfig(**kw))
+    r_p = solve(grid, system, v, tau,
+                cfg=SchemeConfig(use_pallas=True, **kw))
+    sx, sp = int(r_x.steps), int(r_p.steps)
+    # one-step lag => at most a couple of steps fewer, never a 3x gap
+    assert sp >= sx - 3, (sp, sx)
+    # different (valid) dt sequences on a coarse grid => only ballpark
+    # agreement; the exact-parity tests pin dt via max_step instead
+    scale = float(jnp.max(jnp.abs(r_x.values)))
+    assert float(jnp.abs(r_p.values[-1] - r_x.values[-1]).max()) \
+        < 3e-2 * scale
