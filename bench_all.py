@@ -746,10 +746,14 @@ def bench_accuracy_101(t_end=0.25):
     if f32_cache.exists():
         # the f32 information floor: the SAME numpy algorithm run in f32
         # lands this far from its own f64 truth — no f32 implementation
-        # can beat it on the full-grid max at this horizon (the gap is
-        # chaotic far-field divergence seeded by boundary extrapolation;
-        # measured 2026-08-21, T=2.0: floor 2.76e-2, errors concentrated
-        # at large-|V| domain corners)
+        # can beat it on the full-grid max at this horizon.  The root
+        # cause is measured CHAOS, not precision per se: the SAME f64
+        # solver with a 1e-12 initial perturbation diverges to 5.3e-3 in
+        # the far field by T=2.0 (x10^10 Lyapunov amplification; near
+        # the zero set only 3.5e-5), and our f64 solve lands 3.7e-3 from
+        # the f64 numpy oracle far-field / 8e-9 near-set — the full-grid
+        # max gate is ill-posed at this horizon in ANY precision, while
+        # the level set itself is stable (2026-08-21 probes)
         v_f32 = np.load(f32_cache)["v"].astype(np.float64)
         extra["f32_oracle_floor"] = round(
             float(np.abs(v_f32 - v_ref).max()), 5)
