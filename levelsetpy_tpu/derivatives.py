@@ -674,8 +674,13 @@ def hessian(grid: Grid, data: jnp.ndarray, pad: Callable | None = None):
     """Full Hessian (tuple-of-tuples) + gradient via centered differences
     (ref ``Other/hessian.py:4,44-50``).  Mixed partials are centered-of-
     centered; everything is ghost-filled per the grid's BCs (or the
-    supplied ``pad`` — halo exchange when the data is a shard)."""
-    nd = data.ndim
+    supplied ``pad`` — halo exchange when the data is a shard).
+
+    Differentiates the GRID axes only: a trailing batch axis
+    (batch-LAST sweeps, ``data.ndim == grid.ndim + 1``) rides along
+    elementwise (r5 review finding: ``data.ndim`` here used to index
+    ``grid.dx`` out of range for batched noise solves)."""
+    nd = grid.ndim
     grad = tuple(centered_first(grid, data, a, pad) for a in range(nd))
     h = [[None] * nd for _ in range(nd)]
     for i in range(nd):

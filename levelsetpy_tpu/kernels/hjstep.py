@@ -697,7 +697,8 @@ def initial_epsilon(grid: Grid, cfg, vq, ops=None):
 def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
                   comp, eps, origin=None, shard=None, extras=(),
                   gamma=0.0, kene_mv=0.0, alpha_ops=(),
-                  costate_mode=None, gbox=None, noise_c=None, sb=None):
+                  costate_mode=None, gbox=None, noise_c=None, sb=None,
+                  noise_sb_inv=None):
     """One CFL-limited TVD-RK step on the aligned state ``vq`` with the
     solver's per-step epilogue fused into the final substep; returns
     ``(t_new, v_new, eps_new)``.
@@ -829,6 +830,12 @@ def fused_rk_step(grid: Grid, cfg, system, t, vq, t_target, alpha_bounds,
         a_ax = jnp.max(am, axis=(1, 2))
         if shard is not None:
             a_ax = jax.lax.pmax(a_ax, mesh_names)
-        sb_next = 1.0 / sum(a_ax[i] / grid.dx[i] for i in range(3))
+        sb_inv = sum(a_ax[i] / grid.dx[i] for i in range(3))
+        if noise_sb_inv is not None:
+            # keep the parabolic (diffusion) CFL contribution the seed
+            # carried — dropping it would let a diffusion-dominated noise
+            # term outrun its explicit stability limit from step 2 on
+            sb_inv = sb_inv + noise_sb_inv
+        sb_next = 1.0 / sb_inv
         return t + dt, v_new, eps, sb_next
     return t + dt, v_new, eps

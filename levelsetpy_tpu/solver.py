@@ -96,7 +96,10 @@ def _solve_core(
     stop_set,                   # None or grid-shaped implicit set
     stop_set_mode,              # "include" | "intersect"
     stop_level,                 # scalar level for stopSet membership
-    noise_sigma,                # None or (nd, m) diffusion matrix
+    noise_sigma,                # None, a (nd,) stddev VECTOR (diagonal —
+                                # the 1-D rank is the static gate for the
+                                # fused in-kernel form) or an (nd, m)
+                                # diffusion matrix
     converge_threshold,
     trim: Callable,
     save_all: bool,
@@ -443,6 +446,10 @@ def _solve_core(
                     if noise_fusable:
                         # diagonal trace-Hessian term in-kernel (3-D only)
                         step_kw["noise_c"] = noise_c
+                        if costate_kernel:
+                            # the lagged CFL carry must keep the parabolic
+                            # contribution (r5 review finding #1)
+                            step_kw["noise_sb_inv"] = noise_sb_inv
                     if (grid.ndim == 3 and have_alpha
                             and getattr(system, "alpha_via_operands",
                                         False)):

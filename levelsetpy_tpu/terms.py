@@ -358,13 +358,24 @@ def costate_alpha_bounds(grid: Grid, cfg: "SchemeConfig", system: System,
         dl, dr = kernel(grid.dx[axis], g, axis, v.shape[axis], **kwargs)
         deriv_l.append(dl)
         deriv_r.append(dr)
-    alphas, sb_inv = [], 0.0
-    for axis in range(nd):
-        p_min, p_max = _deriv_bounds(deriv_l, deriv_r, cfg.dissipation,
-                                     axis, ops.reduce_max, ops.reduce_min)
-        a = system.alpha(t, xs, p_min, p_max, axis)
-        alphas.append(a)
-        sb_inv = sb_inv + ops.reduce_max(a) / grid.dx[axis]
+    if cfg.dissipation == "locallocal":
+        # every axis shares ONE node-local box: a single 4-corner
+        # evaluation serves all bounds (System.alpha_all, same fast path
+        # as hj_rhs's locallocal branch)
+        p_min = tuple(jnp.minimum(l, r) for l, r in zip(deriv_l, deriv_r))
+        p_max = tuple(jnp.maximum(l, r) for l, r in zip(deriv_l, deriv_r))
+        alphas = list(system.alpha_all(t, xs, p_min, p_max))
+        sb_inv = sum(ops.reduce_max(a) / grid.dx[i]
+                     for i, a in enumerate(alphas))
+    else:
+        alphas, sb_inv = [], 0.0
+        for axis in range(nd):
+            p_min, p_max = _deriv_bounds(deriv_l, deriv_r,
+                                         cfg.dissipation, axis,
+                                         ops.reduce_max, ops.reduce_min)
+            a = system.alpha(t, xs, p_min, p_max, axis)
+            alphas.append(a)
+            sb_inv = sb_inv + ops.reduce_max(a) / grid.dx[axis]
     gmin = tuple(ops.reduce_min(jnp.minimum(l, r))
                  for l, r in zip(deriv_l, deriv_r))
     gmax = tuple(ops.reduce_max(jnp.maximum(l, r))

@@ -202,3 +202,24 @@ class TestBatchFeatures:
             assert "batch" in str(e)
         else:
             raise AssertionError("expected ValueError for bad shapes")
+
+
+class TestBatchNoise:
+    def test_batch_noise_matches_per_element(self):
+        """REGRESSION (r5 review): solve_batch with noise_stddev used to
+        crash at trace time — hessian() differentiated the trailing
+        scenario axis and indexed grid.dx out of range.  Batched noise
+        solves must run and match per-element single solves."""
+        g = create_grid([-2, -2], [2, 2], 21)
+        target = sphere(g, radius=0.5, dtype=jnp.float64)
+        u = jnp.array([0.6, 1.0])
+        sg = jnp.array([0.15, 0.1])
+        tau = jnp.linspace(0.0, 0.3, 2)
+        cfg = SchemeConfig(accuracy="eno2", rk_order=2)
+        res = solve_batch(g, DoubleIntegrator(u_max=u), target, tau,
+                          cfg=cfg, noise_stddev=sg)
+        for b in range(2):
+            single = solve(g, DoubleIntegrator(u_max=float(u[b])), target,
+                           tau, cfg=cfg, noise_stddev=sg)
+            np.testing.assert_allclose(res.values[..., b], single.values,
+                                       atol=1e-10)

@@ -539,3 +539,28 @@ def test_costate_lagged_cfl_bound_tracks_evolution(interpret_pallas):
     scale = float(jnp.max(jnp.abs(r_x.values)))
     assert float(jnp.abs(r_p.values[-1] - r_x.values[-1]).max()) \
         < 3e-2 * scale
+
+
+def test_costate_with_noise_keeps_parabolic_bound(interpret_pallas):
+    """REGRESSION (r5 review): in the costate+noise combination the
+    lagged CFL carry used to drop the diffusion contribution — from step
+    2 the dt ignored the parabolic stability limit.  The fused step count
+    must track the XLA path's (which re-combines both bounds each
+    substep), and values must agree at constant eps + pinned-free dt."""
+    from levelsetpy_tpu import solve
+
+    grid, v, system = generic_setup((14, 12, 12))
+    sg = jnp.array([0.35, 0.3, 0.2], jnp.float32)  # diffusion-significant
+    tau = jnp.array([0.0, 0.5])                    # one long interval
+    kw = dict(accuracy="veryHigh", rk_order=2, dissipation="locallocal",
+              epsilon_method="constant")
+    r_x = solve(grid, system, v, tau, cfg=SchemeConfig(**kw),
+                noise_stddev=sg)
+    r_p = solve(grid, system, v, tau,
+                cfg=SchemeConfig(use_pallas=True, **kw), noise_stddev=sg)
+    sx, sp = int(r_x.steps), int(r_p.steps)
+    assert sp >= sx - 3, (sp, sx)   # never outruns the combined bound
+    assert bool(jnp.isfinite(r_p.values).all())
+    scale = float(jnp.max(jnp.abs(r_x.values)))
+    assert float(jnp.abs(r_p.values[-1] - r_x.values[-1]).max()) \
+        < 3e-2 * scale
