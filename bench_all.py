@@ -394,6 +394,64 @@ def bench_sweep_batchlast(batch=1024, n=31, t_end=0.25, chunk=256,
               "throughput (checksum fetch)")
 
 
+def bench_sweep_batchlast_sharded(batch=1024, n=31, t_end=0.25, chunk=256,
+                                  use_pallas=True):
+    """``parallel.solve_batch_sharded`` at mesh size 1 (VERDICT r4 #2's
+    throughput row): the trailing scenario axis is split over the mesh with
+    ZERO collectives and the fused batch kernel runs per shard, so on one
+    chip the row measures pure sharding overhead — vs_baseline =
+    unsharded batch-last fused wall / sharded wall (>=0.95 means the
+    shard_map wrapper adds no tax; real pods scale scenario throughput
+    linearly by construction, rehearsed in multiprocess_harness.py
+    --sweep)."""
+    import jax.numpy as jnp
+
+    from levelsetpy_tpu import (DubinsRel, SchemeConfig, create_grid,
+                                cylinder)
+    from levelsetpy_tpu.parallel import make_mesh, solve_batch_sharded
+
+    lo, hi = [-6.0, -10.0, 0.0], [20.0, 10.0, 2 * np.pi]
+    grid = create_grid(lo, hi, n, periodic_dims=[2])
+    target = cylinder(grid, ignore_axes=[2], radius=5.0)
+    tau = jnp.array([0.0, t_end], jnp.float32)
+    cfg = SchemeConfig(accuracy="veryHigh", rk_order=2,
+                       use_pallas=use_pallas)
+    mesh = make_mesh({"b": 1})
+    ves = jnp.linspace(3.0, 7.0, batch)
+    ws = jnp.linspace(0.5, 2.0, batch)
+
+    def run(eps=0.0):
+        sums = []
+        for c in range(0, batch, chunk):
+            r = solve_batch_sharded(
+                grid,
+                DubinsRel(v_e=ves[c:c + chunk] + eps, v_p=5.0,
+                          w_bound=ws[c:c + chunk] + eps),
+                target, tau, mesh, cfg=cfg, save_all=False)
+            sums.append(jnp.sum(r.values))
+        return [float(s) for s in sums]
+
+    run()  # compile + warm
+    # UNIQUE eps per timing call (remote result cache — CLAUDE.md)
+    wall = min(_timed(lambda e=e: run(e)) for e in (4e-6, 5e-6, 6e-6))
+    # unsharded fused twin from this run, else the merged record on disk
+    ref = next((r["value"] for r in RECORDS
+                if r["metric"].startswith("dubins_sweep_batchlast_pallas")),
+               None)
+    if ref is None:
+        out = ROOT / "benchmarks" / "BENCH_ALL.json"
+        if out.exists():
+            ref = next((r["value"] for r in json.loads(out.read_text())
+                        if r["metric"].startswith(
+                            "dubins_sweep_batchlast_pallas")), None)
+    emit(f"dubins_sweep_batchlast_sharded_{batch}x{n}cube_T{t_end}", wall,
+         "s", (ref / wall) if ref else 0.0,
+         solves_per_s=round(batch / wall, 2),
+         note="vs_baseline = unsharded batch-last fused wall / sharded "
+              "wall at mesh size 1 (zero-collective scenario sharding); "
+              "device throughput (checksum fetch)")
+
+
 def bench_rocket4d_sharded(shape=(48, 48, 24, 24), t_end=0.3):
     import jax.numpy as jnp
 
@@ -806,6 +864,8 @@ def main():
         bench_sweep_batchlast(batch=args.sweep_batch)
     if "sweep_batchlast_pallas" not in args.skip:
         bench_sweep_batchlast(batch=args.sweep_batch, use_pallas=True)
+    if "sweep_batchlast_sharded" not in args.skip:
+        bench_sweep_batchlast_sharded(batch=args.sweep_batch)
     if "rocket4d_sweep" not in args.skip:
         bench_rocket4d_sweep()
     if "rocket4d" not in args.skip:
